@@ -140,14 +140,17 @@ def stereo_bm(
     c0 = take(d0)
     cn = take(d0 - 1)  # cost at disparity-1
     cp = take(d0 + 1)  # cost at disparity+1
+    # cv2's modified parabola (its SAD array is disparity-reversed, hence the
+    # (cn - cp) orientation here): delta = (c[d-1] - c[d+1]) / denom.
     denom = cp + cn - 2 * c0 + jnp.abs(cp - cn)
-    delta = jnp.where(denom != 0, (cp - cn) / (2.0 * denom) * 2.0, 0.0)
+    delta = jnp.where(denom != 0, (cn - cp) / denom, 0.0)
     delta = jnp.where((mind > 0) & (mind < ndisp - 1), delta, 0.0)
     disp = (mind + mindisp).astype(jnp.float32) + delta.astype(jnp.float32)
 
-    # Left margin: the full disparity range must be in-frame (cv2 region).
+    # Left margin: the full disparity range must be in-frame for the whole
+    # window (cv2 region: x >= minDisparity + numDisparities - 1 + wsz2).
     xs = jnp.arange(Wp).reshape(1, Wp) + wsz2
-    range_ok = (xs - (mindisp + ndisp - 1)) >= 0
+    range_ok = (xs - wsz2 - (mindisp + ndisp - 1)) >= 0
 
     valid = tex_ok & unique_ok & range_ok
     invalid_val = jnp.float32(mindisp - 1)

@@ -1,0 +1,114 @@
+"""Disparity post-processing: left-right consistency and speckle filtering.
+
+TPU-native equivalents of cv2's validateDisparity and filterSpeckles
+(capability extension per /root/repo/BASELINE.json config #2: "subpixel +
+LR-check + speckle filter"). Everything is expressed as bounded iterative
+elementwise/gather passes (jit/vmap-friendly, no host loops).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def left_right_check(
+    disp_left: jnp.ndarray,
+    disp_right: jnp.ndarray,
+    max_diff: float = 1.0,
+    invalid_value: float = -1.0,
+) -> jnp.ndarray:
+    """Invalidate left-disparity pixels failing LR consistency.
+
+    For left pixel x with disparity d, the matching right pixel is x - d;
+    consistency requires |disp_right[x - d] - d| <= max_diff (cv2
+    validateDisparity semantics with precomputed right disparity).
+    """
+    H, W = disp_left.shape
+    x = jnp.arange(W)[None, :].astype(disp_left.dtype)
+    xr = jnp.round(x - disp_left).astype(jnp.int32)
+    in_range = (xr >= 0) & (xr < W)
+    xr_c = jnp.clip(xr, 0, W - 1)
+    d2 = jnp.take_along_axis(disp_right, xr_c, axis=1)
+    ok = in_range & (jnp.abs(d2 - disp_left) <= max_diff) & (disp_left >= 0)
+    return jnp.where(ok, disp_left, invalid_value)
+
+
+def connected_component_labels(
+    same_blob_adjacency: list[jnp.ndarray],
+    valid: jnp.ndarray,
+    rounds: int | None = None,
+) -> jnp.ndarray:
+    """4-neighbor connected-component labels via min-propagation + pointer
+    jumping (Shiloach-Vishkin style), O(log(H*W)) rounds.
+
+    Args:
+      same_blob_adjacency: 4 boolean (H, W) masks for neighbors at
+        (+y, -y, +x, -x) — True where the neighbor belongs to the same blob.
+      valid: (H, W) bool; invalid pixels are singleton components.
+      rounds: propagation rounds; default ceil(log2(H*W)) + 2.
+
+    Returns:
+      (H, W) int32 labels: the min flat index of each pixel's component.
+    """
+    H, W = valid.shape
+    if rounds is None:
+        rounds = int(math.ceil(math.log2(max(H * W, 2)))) + 2
+    labels = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    big = jnp.int32(H * W)  # sentinel for padding (never a real label)
+
+    offs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def neighbor_min(lab):
+        lpad = jnp.pad(lab, ((1, 1), (1, 1)), constant_values=big)
+        out = lab
+        for (dy, dx), m in zip(offs, same_blob_adjacency):
+            ln = lpad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+            out = jnp.where(m, jnp.minimum(out, ln), out)
+        return out
+
+    def hop(lab):
+        # label <- label of the pixel this label points to (path halving).
+        return lab.reshape(-1)[lab.reshape(-1)].reshape(H, W)
+
+    def body(_, lab):
+        return hop(hop(neighbor_min(lab)))
+
+    return jax.lax.fori_loop(0, rounds, body, labels)
+
+
+@functools.partial(jax.jit, static_argnames=("max_speckle_size",))
+def speckle_filter(
+    disp: jnp.ndarray,
+    max_diff: float = 1.0,
+    max_speckle_size: int = 100,
+    invalid_value: float = -1.0,
+) -> jnp.ndarray:
+    """Remove small disparity blobs (cv2.filterSpeckles semantics).
+
+    Connected components (4-neighborhood) of valid pixels whose neighboring
+    disparities differ by <= ``max_diff`` are measured; components smaller
+    than ``max_speckle_size`` are set to ``invalid_value``.
+    """
+    H, W = disp.shape
+    valid = disp > invalid_value
+
+    dpad = jnp.pad(disp, ((1, 1), (1, 1)), constant_values=jnp.inf)
+    vpad = jnp.pad(valid, ((1, 1), (1, 1)), constant_values=False)
+
+    def adj(dy, dx):
+        dn = dpad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+        vn = vpad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+        return valid & vn & (jnp.abs(dn - disp) <= max_diff)
+
+    masks = [adj(1, 0), adj(-1, 0), adj(0, 1), adj(0, -1)]
+    labels = connected_component_labels(masks, valid)
+
+    flat = labels.reshape(-1)
+    sizes = jnp.zeros(H * W, jnp.int32).at[flat].add(1)
+    blob_size = sizes[flat].reshape(H, W)
+    speckle = valid & (blob_size < max_speckle_size)
+    return jnp.where(speckle, invalid_value, disp)

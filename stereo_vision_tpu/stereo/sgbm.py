@@ -1,0 +1,313 @@
+"""Semi-global block matching (cv2.StereoSGBM MODE_HH parity) in pure JAX.
+
+Capability extension per /root/repo/BASELINE.json config #2 (1280x720,
+D=128, 8-path, subpixel + LR-check + speckle). The reference has no dense
+stereo (SURVEY.md §0); parity is measured against cv2.StereoSGBM.
+
+TPU-first structure (SURVEY.md §5 "long-context" note): the 8 directional
+aggregations are the sequential dimension. They compile to two
+``lax.scan``s — one over rows carrying the three "downward" directions
+(vertical + both diagonals, with the diagonal carries shifted one column
+per step), run twice via a y-flip for the upward set; one over columns for
+the horizontal pair via an x-flip. All per-step work is batched (W, D) /
+(H, D) vector math on the VPU; nothing is per-pixel.
+
+Matching cv2 semantics:
+  - Birchfield-Tomasi pixel cost on two channels: clipped x-Sobel (full
+    weight) + raw intensity (>>2), summed over a blockSize window with
+    replicate-clamped borders.
+  - Aggregation L_r(p,d) = C + min(L', L'(d±1)+P1, minL'+P2) - minL',
+    zero boundary (border L = C).
+  - WTA over the 8-direction sum, uniqueness ratio, subpixel parabola with
+    cv2's integer rounding semantics, optional LR check (floor & ceil rule)
+    and speckle filter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_vision_tpu.stereo.postprocess import speckle_filter
+
+_BIG = jnp.int32(1 << 29)
+
+
+class StereoSGBMParams(NamedTuple):
+    min_disparity: int = 0
+    num_disparities: int = 128
+    block_size: int = 5
+    p1: int | None = None          # default 8 * block_size**2
+    p2: int | None = None          # default 32 * block_size**2
+    disp12_max_diff: int = -1      # <0 disables the LR check
+    prefilter_cap: int = 15        # cv2: ftzero = max(preFilterCap, 15) | 1
+    uniqueness_ratio: int = 0
+    speckle_window_size: int = 0   # 0 disables
+    speckle_range: int = 0
+
+    @property
+    def P1(self) -> int:
+        return self.p1 if self.p1 else 8 * self.block_size * self.block_size
+
+    @property
+    def P2(self) -> int:
+        return self.p2 if self.p2 else 32 * self.block_size * self.block_size
+
+    @property
+    def ftzero(self) -> int:
+        return max(self.prefilter_cap, 15) | 1
+
+
+def _xsobel_clipped(img: jnp.ndarray, ftzero: int) -> jnp.ndarray:
+    """SGBM's row Sobel: clip(dx, -ftzero, ftzero) + ftzero; borders = ftzero."""
+    img = img.astype(jnp.int32)
+    up = jnp.concatenate([img[:1], img[:-1]], axis=0)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+
+    def dx(a):
+        l = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+        r = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        return r - l
+
+    d = 2 * dx(img) + dx(up) + dx(down)
+    v = jnp.clip(d, -ftzero, ftzero) + ftzero
+    return v.at[:, 0].set(ftzero).at[:, -1].set(ftzero)
+
+
+def _bt_channel_cost(p1row: jnp.ndarray, p2row: jnp.ndarray, ndisp: int, mindisp: int) -> jnp.ndarray:
+    """Birchfield-Tomasi cost between two single-channel images.
+
+    Returns (H, W, D) with cost[y, x, d] = BT(left[y, x], right[y, x-d-mindisp]);
+    out-of-range right samples clamp to column 0 (those columns are outside
+    the cv2 valid region and are sliced away by the caller).
+    """
+    H, W = p1row.shape
+
+    def half_extrema(a):
+        left = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+        right = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        vl = (a + left) // 2
+        vr = (a + right) // 2
+        # cv2 edge rule: at x=0 there is no left half-sample, at W-1 no right.
+        vl = vl.at[:, 0].set(a[:, 0])
+        vr = vr.at[:, -1].set(a[:, -1])
+        v0 = jnp.minimum(jnp.minimum(vl, vr), a)
+        v1 = jnp.maximum(jnp.maximum(vl, vr), a)
+        return v0, v1
+
+    u0, u1 = half_extrema(p1row)
+    v0, v1 = half_extrema(p2row)
+
+    maxshift = mindisp + ndisp - 1
+    pad = lambda a: jnp.pad(a, ((0, 0), (maxshift, 0)), mode="edge")
+    v_p, v0_p, v1_p = pad(p2row), pad(v0), pad(v1)
+
+    def per_d(d):
+        off = maxshift - (mindisp + d)
+        sl = lambda a: jax.lax.dynamic_slice(a, (0, off), (H, W))
+        v, vv0, vv1 = sl(v_p), sl(v0_p), sl(v1_p)
+        c0 = jnp.maximum(jnp.maximum(0, p1row - vv1), vv0 - p1row)
+        c1 = jnp.maximum(jnp.maximum(0, v - u1), u0 - v)
+        return jnp.minimum(c0, c1)
+
+    return jnp.moveaxis(jax.vmap(per_d)(jnp.arange(ndisp)), 0, -1)  # (H, W, D)
+
+
+def _box_filter_same(x: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """bs x bs box sum over the first two axes, replicate-padded (cv2 clamp)."""
+    r = bs // 2
+    xp = jnp.pad(x, ((r, r), (r, r)) + ((0, 0),) * (x.ndim - 2), mode="edge")
+    c = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
+    c = jnp.pad(c, ((1, 0), (1, 0)) + ((0, 0),) * (x.ndim - 2))
+    return c[bs:, bs:] - c[:-bs, bs:] - c[bs:, :-bs] + c[:-bs, :-bs]
+
+
+def _sgm_update(c, L, minL, P1, P2):
+    """One SGM step: L' = c + min(L, L(d-1)+P1, L(d+1)+P1, minL+P2) - minL."""
+    Lm = jnp.concatenate([jnp.full_like(L[..., :1], _BIG), L[..., :-1]], axis=-1)
+    Lp = jnp.concatenate([L[..., 1:], jnp.full_like(L[..., :1], _BIG)], axis=-1)
+    cand = jnp.minimum(jnp.minimum(L, minL + P2), jnp.minimum(Lm, Lp) + P1)
+    Lnew = c + cand - minL
+    return Lnew, jnp.min(Lnew, axis=-1, keepdims=True)
+
+
+def _shift_cols(a, direction):
+    """Shift along the column axis (axis 0 of a (W, D) array), zero-fill."""
+    if direction == 0:
+        return a
+    z = jnp.zeros_like(a[:1])
+    if direction > 0:  # predecessor at x-1: value for column x comes from x-1
+        return jnp.concatenate([z, a[:-1]], axis=0)
+    return jnp.concatenate([a[1:], z], axis=0)
+
+
+def _aggregate_down(C, P1, P2):
+    """Sum of the three downward direction volumes: (0,1), (1,1), (-1,1).
+
+    C: (H, W, D) int32. Returns (H, W, D).
+    """
+    W, D = C.shape[1], C.shape[2]
+    zero = jnp.zeros((W, D), C.dtype)
+    zmin = jnp.zeros((W, 1), C.dtype)
+
+    def step(carry, c_row):
+        (Lv, mv), (Ld, md), (Lu, mu) = carry
+        Lv2, mv2 = _sgm_update(c_row, Lv, mv, P1, P2)
+        Ld2, md2 = _sgm_update(c_row, _shift_cols(Ld, 1), _shift_cols(md, 1), P1, P2)
+        Lu2, mu2 = _sgm_update(c_row, _shift_cols(Lu, -1), _shift_cols(mu, -1), P1, P2)
+        out = Lv2 + Ld2 + Lu2
+        return (((Lv2, mv2), (Ld2, md2), (Lu2, mu2)), out)
+
+    init = ((zero, zmin), (zero, zmin), (zero, zmin))
+    _, S = jax.lax.scan(step, init, C)
+    return S
+
+
+def _aggregate_horiz(C, P1, P2):
+    """Left-to-right direction volume. C: (H, W, D) -> (H, W, D)."""
+    H, D = C.shape[0], C.shape[2]
+    zero = jnp.zeros((H, D), C.dtype)
+    zmin = jnp.zeros((H, 1), C.dtype)
+
+    def step(carry, c_col):
+        L, m = carry
+        L2, m2 = _sgm_update(c_col, L, m, P1, P2)
+        return ((L2, m2), L2)
+
+    _, S = jax.lax.scan(step, (zero, zmin), jnp.moveaxis(C, 1, 0))
+    return jnp.moveaxis(S, 0, 1)
+
+
+def _aggregate_8(C, P1, P2):
+    """Full 8-direction aggregated cost volume (MODE_HH)."""
+    S = _aggregate_down(C, P1, P2)
+    S = S + jnp.flip(_aggregate_down(jnp.flip(C, 0), P1, P2), 0)
+    S = S + _aggregate_horiz(C, P1, P2)
+    S = S + jnp.flip(_aggregate_horiz(jnp.flip(C, 1), P1, P2), 1)
+    return S
+
+
+def compute_cost_volume(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGBMParams) -> jnp.ndarray:
+    """(H, W, D) windowed BT cost (sobel channel + raw>>2 channel)."""
+    ftzero = params.ftzero
+    ndisp = params.num_disparities
+    mindisp = params.min_disparity
+    ls = _xsobel_clipped(left, ftzero)
+    rs = _xsobel_clipped(right, ftzero)
+    c_sobel = _bt_channel_cost(ls, rs, ndisp, mindisp)
+    c_raw = _bt_channel_cost(left.astype(jnp.int32), right.astype(jnp.int32), ndisp, mindisp)
+    pix = c_sobel + (c_raw >> 2)
+    return _box_filter_same(pix, params.block_size)
+
+
+def stereo_sgbm(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoSGBMParams = StereoSGBMParams(),
+) -> jnp.ndarray:
+    """Dense SGBM disparity (cv2.StereoSGBM MODE_HH parity).
+
+    Args:
+      left, right: (H, W) uint8/int grayscale rectified pair.
+
+    Returns:
+      (H, W) float32 disparity; invalid = ``min_disparity - 1``.
+    """
+    H, W = left.shape
+    ndisp = params.num_disparities
+    mindisp = params.min_disparity
+    maxD = mindisp + ndisp
+    minX1 = max(maxD, 0)
+    P1, P2 = params.P1, params.P2
+
+    C_full = compute_cost_volume(left, right, params)  # (H, W, D)
+    C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
+    Wv = C.shape[1]
+
+    S = _aggregate_8(C, P1, P2)  # (H, Wv, D)
+
+    best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
+    minS = jnp.min(S, axis=-1)
+
+    # Uniqueness: minS*(100+U) > S[d]*100 for some |d - best| > 1 -> invalid.
+    ds = jnp.arange(ndisp).reshape(1, 1, ndisp)
+    if params.uniqueness_ratio > 0:
+        offender = (minS[..., None] * (100 + params.uniqueness_ratio) > S * 100) & (
+            jnp.abs(ds - best[..., None]) > 1
+        )
+        unique_ok = ~jnp.any(offender, axis=-1)
+    else:
+        unique_ok = jnp.ones_like(best, dtype=bool)
+
+    # Subpixel (cv2 integer semantics, DISP_SCALE = 16):
+    #   d*16 + ((S[d-1]-S[d+1])*16 + denom2) / (denom2*2), C integer division.
+    d0 = jnp.clip(best, 1, ndisp - 2)
+    take = lambda i: jnp.take_along_axis(S, i[..., None], axis=-1)[..., 0]
+    s0, sm, sp = take(d0), take(d0 - 1), take(d0 + 1)
+    denom2 = jnp.maximum(sm + sp - 2 * s0, 1)
+    num = (sm - sp) * 16 + denom2
+    sub16 = jnp.where(
+        (best > 0) & (best < ndisp - 1),
+        best * 16 + _c_div(num, denom2 * 2),
+        best * 16,
+    )
+    disp = sub16.astype(jnp.float32) / 16.0 + mindisp
+
+    valid = unique_ok
+
+    # LR consistency: project minS onto right-image coordinates.
+    if params.disp12_max_diff >= 0:
+        # Pack (cost, disparity) into int32: S is bounded by
+        # 8 * (maxBTcost*bs^2 + P2) < 2^16, disparity field gets 11 bits.
+        assert ndisp + abs(mindisp) < (1 << 11), "disparity exceeds pack field"
+        xs = jnp.arange(Wv) + minX1  # full-frame x of each valid column
+        x2 = xs[None, :] - (best + mindisp)  # right-image column
+        pack = minS.astype(jnp.int32) * (1 << 11) + (best + mindisp)
+        sentinel = jnp.int32(1 << 30)
+        row_init = jnp.full((H, W), sentinel, jnp.int32)
+        x2c = jnp.clip(x2, 0, W - 1)
+        packed = row_init.at[jnp.arange(H)[:, None], x2c].min(pack)
+        disp2 = (packed & ((1 << 11) - 1)).astype(jnp.int32)
+        disp2 = jnp.where(packed >= sentinel, -(1 << 10), disp2)
+
+        d_f = jnp.floor(disp).astype(jnp.int32)
+        d_c = jnp.ceil(disp).astype(jnp.int32)
+
+        def lookup(dd):
+            xq = xs[None, :] - dd
+            ok_range = (xq >= 0) & (xq < W)
+            v = disp2[jnp.arange(H)[:, None], jnp.clip(xq, 0, W - 1)]
+            return ok_range, v
+
+        ok_f, v_f = lookup(d_f)
+        ok_c, v_c = lookup(d_c)
+        fail_f = ok_f & (v_f >= mindisp) & (jnp.abs(v_f - d_f) > params.disp12_max_diff)
+        fail_c = ok_c & (v_c >= mindisp) & (jnp.abs(v_c - d_c) > params.disp12_max_diff)
+        valid = valid & ~(fail_f & fail_c)
+
+    invalid_val = float(mindisp - 1)
+    disp = jnp.where(valid, disp, jnp.float32(invalid_val))
+
+    # Paste back into full width; x < minX1 has no full disparity range.
+    full = jnp.full((H, W), invalid_val, jnp.float32)
+    full = jax.lax.dynamic_update_slice(full, disp, (0, minX1))
+
+    if params.speckle_window_size > 0:
+        full = speckle_filter(
+            full,
+            max_diff=float(params.speckle_range),
+            max_speckle_size=params.speckle_window_size,
+            invalid_value=invalid_val,
+        )
+    return full
+
+
+def _c_div(a, b):
+    """C-style integer division (truncation toward zero)."""
+    q = jnp.abs(a) // jnp.abs(b)
+    return jnp.sign(a) * jnp.sign(b) * q
+
+
+stereo_sgbm_jit = jax.jit(stereo_sgbm, static_argnames=("params",))
