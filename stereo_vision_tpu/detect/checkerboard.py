@@ -1,0 +1,302 @@
+"""Checkerboard corner detection on TPU.
+
+Replaces cv2.findChessboardCorners + cv2.cornerSubPix (reference:
+intrinsic.py:107-183, extrinsic.py:231-377):
+
+- Harris corner response as pure conv/elementwise math (SURVEY.md §2d
+  "Harris/ChESS-style response"),
+- non-max suppression via max-pool equality,
+- grid ordering by PCA-aligned row clustering,
+- subpixel refinement with cv2.cornerSubPix's gradient normal-equation
+  iteration, vmapped over corners.
+
+cv2's quad-filtering detector is battle-tested on hard real footage, so a
+host escape hatch is kept behind the same interface
+(``backend='cv2'``; SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_vision_tpu.detect.image_ops import gaussian_blur
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def harris_response(gray: jnp.ndarray, block_size: int = 5, k: float = 0.04) -> jnp.ndarray:
+    """Harris corner response det(M) - k*trace(M)² with a box window."""
+    f = gray.astype(jnp.float32)
+    f = gaussian_blur(f, ksize=3, sigma=1.0)
+    pad = jnp.pad(f, 1, mode="edge")
+    ix = (pad[1:-1, 2:] - pad[1:-1, :-2]) * 0.5
+    iy = (pad[2:, 1:-1] - pad[:-2, 1:-1]) * 0.5
+
+    def box(x):
+        r = block_size // 2
+        xp = jnp.pad(x, r, mode="edge")
+        c = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
+        c = jnp.pad(c, ((1, 0), (1, 0)))
+        return (
+            c[block_size:, block_size:]
+            - c[:-block_size, block_size:]
+            - c[block_size:, :-block_size]
+            + c[:-block_size, :-block_size]
+        )
+
+    sxx, syy, sxy = box(ix * ix), box(iy * iy), box(ix * iy)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def checkerboard_response(gray: jnp.ndarray, offsets: tuple[int, ...] = (3, 5)) -> jnp.ndarray:
+    """ChESS-style saddle-point response: strong only at interior
+    checkerboard corners, unlike Harris which also fires on the board's
+    outer L-corners.
+
+    For each scale d, samples the four diagonal quadrants (a, b; c, e) and
+    the four axis neighbors (n, s, w, o) around each pixel:
+      saddle  = |a + e - b - c| - |a - e| - |b - c|      (diagonal config)
+      saddle' = |n + s - w - o| - |n - s| - |w - o|      (45°-rotated config)
+    An interior corner has two equal opposite-dark quadrants, so one of the
+    two expressions reaches 2x the local contrast while both penalties
+    vanish; an L-corner's lone dark quadrant cancels out.
+    """
+    f = gaussian_blur(gray.astype(jnp.float32), ksize=3, sigma=1.0)
+    H, W = f.shape
+
+    def shifted(dy, dx):
+        pad_y = (max(dy, 0), max(-dy, 0))
+        pad_x = (max(dx, 0), max(-dx, 0))
+        p = jnp.pad(f, (pad_y, pad_x), mode="edge")
+        return jax.lax.dynamic_slice(p, (pad_y[1], pad_x[1]), (H, W))
+
+    def saddle(d):
+        a = shifted(-d, -d)
+        b = shifted(-d, d)
+        c = shifted(d, -d)
+        e = shifted(d, d)
+        diag = jnp.abs(a + e - b - c) - jnp.abs(a - e) - jnp.abs(b - c)
+        n = shifted(-d, 0)
+        s = shifted(d, 0)
+        w = shifted(0, -d)
+        o = shifted(0, d)
+        axis = jnp.abs(n + s - w - o) - jnp.abs(n - s) - jnp.abs(w - o)
+        return jnp.maximum(jnp.maximum(diag, axis), 0.0)
+
+    resp = jnp.zeros_like(f)
+    for d in offsets:
+        resp = resp + saddle(d)
+    # The multi-scale sum plateaus across ~offset pixels around each corner
+    # (every sample stays inside its quadrant); gating by the d=1 response
+    # sharpens the peak so NMS ties don't shadow real corners.
+    return resp * saddle(1)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_corners"))
+def _local_maxima(resp: jnp.ndarray, radius: int, max_corners: int):
+    """Top-K local maxima of a response map: (K, 2) [x, y] + scores."""
+    H, W = resp.shape
+    win = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        resp,
+        -jnp.inf,
+        jax.lax.max,
+        (win, win),
+        (1, 1),
+        "SAME",
+    )
+    is_max = (resp == pooled) & (resp > 0)
+    flat = jnp.where(is_max.reshape(-1), resp.reshape(-1), -jnp.inf)
+    scores, idx = jax.lax.top_k(flat, max_corners)
+    ys = idx // W
+    xs = idx % W
+    return jnp.stack([xs, ys], axis=-1).astype(jnp.float32), scores
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters"))
+def refine_corners_subpix(
+    gray: jnp.ndarray, corners: jnp.ndarray, win: int = 5, iters: int = 10
+) -> jnp.ndarray:
+    """cv2.cornerSubPix iteration, vmapped over corners.
+
+    Solves q = G⁻¹ b with G = Σ w·∇I∇Iᵀ and b = Σ w·(∇I∇Iᵀ)p over a
+    (2*win+1)² window around each corner (classic Förstner refinement,
+    the algorithm behind cv2.cornerSubPix).
+
+    Args:
+      gray: (H, W) image.
+      corners: (N, 2) [x, y] integer-accuracy corners.
+      win: half window size (cv2's winSize=(win, win)).
+      iters: fixed iteration count (cv2 default criteria ~ 30 it / 0.1 eps;
+        10 is plenty at float32).
+    """
+    f = gray.astype(jnp.float32)
+    H, W = f.shape
+    size = 2 * win + 1
+    # Gaussian-like weight mask, as cv2 uses.
+    g1 = jnp.exp(
+        -((jnp.arange(size, dtype=jnp.float32) - win) ** 2) / (2.0 * (win / 2.0) ** 2)
+    ).astype(jnp.float32)
+    wmask = g1[:, None] * g1[None, :]
+
+    pad = jnp.pad(f, 1, mode="edge")
+    ix_full = (pad[1:-1, 2:] - pad[1:-1, :-2]) * 0.5
+    iy_full = (pad[2:, 1:-1] - pad[:-2, 1:-1]) * 0.5
+
+    ys_rel = jnp.arange(size, dtype=jnp.float32) - jnp.float32(win)
+    xs_rel = jnp.arange(size, dtype=jnp.float32) - jnp.float32(win)
+    ry = ys_rel[:, None] * jnp.ones((1, size), jnp.float32)
+    rx = jnp.ones((size, 1), jnp.float32) * xs_rel[None, :]
+
+    def bilinear(img, y, x):
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        fy = y - y0
+        fx = x - x0
+        y0c = jnp.clip(y0, 0, H - 1)
+        y1c = jnp.clip(y0 + 1, 0, H - 1)
+        x0c = jnp.clip(x0, 0, W - 1)
+        x1c = jnp.clip(x0 + 1, 0, W - 1)
+        return (
+            img[y0c, x0c] * (1 - fy) * (1 - fx)
+            + img[y0c, x1c] * (1 - fy) * fx
+            + img[y1c, x0c] * fy * (1 - fx)
+            + img[y1c, x1c] * fy * fx
+        )
+
+    def one_corner(c):
+        def step(_, q):
+            yy = q[1] + ry
+            xx = q[0] + rx
+            gx = bilinear(ix_full, yy, xx)
+            gy = bilinear(iy_full, yy, xx)
+            gxx = jnp.sum(wmask * gx * gx)
+            gyy = jnp.sum(wmask * gy * gy)
+            gxy = jnp.sum(wmask * gx * gy)
+            bx = jnp.sum(wmask * (gx * gx * xx + gx * gy * yy))
+            by = jnp.sum(wmask * (gx * gy * xx + gy * gy * yy))
+            det = gxx * gyy - gxy * gxy
+            qx = jnp.where(jnp.abs(det) > 1e-12, (gyy * bx - gxy * by) / det, q[0])
+            qy = jnp.where(jnp.abs(det) > 1e-12, (gxx * by - gxy * bx) / det, q[1])
+            # Clamp the step to the window (divergence guard).
+            qx = jnp.clip(qx, q[0] - win, q[0] + win)
+            qy = jnp.clip(qy, q[1] - win, q[1] + win)
+            return jnp.stack([qx, qy])
+
+        return jax.lax.fori_loop(0, iters, step, c.astype(jnp.float32))
+
+    return jax.vmap(one_corner)(corners.astype(jnp.float32))
+
+
+def _order_grid(points: np.ndarray, cols: int, rows: int) -> np.ndarray | None:
+    """Order N=cols*rows scattered corners row-major via PCA alignment.
+
+    Rotates the point cloud so the board's long axis is horizontal, splits
+    into ``rows`` bands by rotated-y, sorts each band by rotated-x.
+    Returns None if the bands are not cleanly separable.
+    """
+    pts = np.asarray(points, np.float64)
+    if len(pts) != cols * rows:
+        return None
+    c = pts.mean(0)
+    centered = pts - c
+    _, _, Vt = np.linalg.svd(centered, full_matrices=False)
+    axes = Vt  # principal axes; row 0 = dominant
+    rot = centered @ axes.T  # (N, 2) coords in (major, minor)
+    if cols < rows:
+        rot = rot[:, ::-1]
+    order = np.argsort(rot[:, 1], kind="stable")
+    grid_idx = np.empty(len(pts), np.int64)
+    ok = True
+    for r in range(rows):
+        band = order[r * cols : (r + 1) * cols]
+        band_sorted = band[np.argsort(rot[band, 0], kind="stable")]
+        grid_idx[r * cols : (r + 1) * cols] = band_sorted
+        # sanity: band y-spread should be smaller than inter-row spacing
+        if rows > 1:
+            ys = rot[band, 1]
+            if ys.max() - ys.min() > (rot[:, 1].max() - rot[:, 1].min()) / max(rows - 1, 1) * 0.8:
+                ok = False
+    if not ok:
+        return None
+    ordered = pts[grid_idx]
+    # Canonicalize: first corner top-left (reference ensure_corner_ordering,
+    # intrinsic.py:185-222, extended to vertical flips as extrinsic.py needs).
+    g = ordered.reshape(rows, cols, 2)
+    if g[0, 0, 1] > g[-1, 0, 1]:
+        g = g[::-1]
+    if g[0, 0, 0] > g[0, -1, 0]:
+        g = g[:, ::-1]
+    return g.reshape(-1, 2)
+
+
+def find_chessboard_corners(
+    gray: np.ndarray,
+    board_size: tuple[int, int],
+    backend: str = "auto",
+    subpix_win: int = 5,
+) -> tuple[bool, np.ndarray | None]:
+    """(ok, corners (N, 2) row-major) for an inner-corner grid.
+
+    Args:
+      board_size: (cols, rows) inner corners, cv2 convention.
+      backend: 'jax' (Harris + PCA grid ordering + subpixel), 'cv2'
+        (host OpenCV), or 'auto' (jax first, cv2 on failure).
+    """
+    cols, rows = board_size
+    n = cols * rows
+    img = np.asarray(gray)
+
+    if backend in ("jax", "auto"):
+        resp = checkerboard_response(jnp.asarray(img))
+        # Over-request candidates: plateau ties can pass the max-pool
+        # equality NMS twice; dedup greedily by distance on host.
+        cand, scores = _local_maxima(resp, radius=4, max_corners=4 * n)
+        cand = np.asarray(cand)
+        sc = np.asarray(scores)
+        picked: list[np.ndarray] = []
+        for p, s in zip(cand, sc):
+            if s <= 0:
+                break
+            if any(np.hypot(*(p - q)) < 6.0 for q in picked):
+                continue
+            picked.append(p)
+            if len(picked) == n:
+                break
+        if len(picked) >= n:
+            ordered = _order_grid(np.stack(picked), cols, rows)
+            if ordered is not None:
+                refined = np.asarray(
+                    refine_corners_subpix(jnp.asarray(img), jnp.asarray(ordered), win=subpix_win)
+                )
+                return True, refined
+        if backend == "jax":
+            return False, None
+
+    if backend in ("cv2", "auto"):
+        try:
+            import cv2
+        except ImportError:
+            return False, None
+        u8 = img.astype(np.uint8) if img.dtype != np.uint8 else img
+        ok, corners = cv2.findChessboardCorners(
+            u8, board_size, cv2.CALIB_CB_ADAPTIVE_THRESH + cv2.CALIB_CB_NORMALIZE_IMAGE
+        )
+        if not ok:
+            return False, None
+        corners = cv2.cornerSubPix(
+            u8,
+            corners,
+            (11, 11),
+            (-1, -1),
+            (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 0.001),
+        )
+        return True, corners.reshape(-1, 2)
+
+    raise ValueError(f"unknown backend: {backend}")

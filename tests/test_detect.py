@@ -1,0 +1,189 @@
+"""Detector tests: image ops vs cv2, circles, checkerboard corners."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_vision_tpu.detect import (
+    rgb_to_gray,
+    rgb_to_hsv,
+    gaussian_blur,
+    otsu_threshold,
+    in_range,
+    mask_circularity,
+    min_enclosing_circle,
+    hough_circles,
+    region_circularity,
+    rescore_detections,
+    depth_from_apparent_size,
+    estimate_focal_length,
+    find_chessboard_corners,
+    refine_corners_subpix,
+)
+
+
+class TestImageOps:
+    def test_gray_matches_cv2(self, rng):
+        img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        ours = np.asarray(rgb_to_gray(jnp.asarray(img)))
+        ref = cv2.cvtColor(img[..., ::-1], cv2.COLOR_BGR2GRAY)  # BGR flip
+        np.testing.assert_allclose(ours, ref, atol=1.0)
+
+    def test_hsv_matches_cv2(self, rng):
+        img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ours = np.asarray(rgb_to_hsv(jnp.asarray(img)))
+        ref = cv2.cvtColor(img[..., ::-1], cv2.COLOR_BGR2HSV).astype(np.float32)
+        # Hue wraps at 180; compare circularly, S/V directly.
+        dh = np.abs(ours[..., 0] - ref[..., 0])
+        dh = np.minimum(dh, 180 - dh)
+        assert dh.max() <= 1.5
+        np.testing.assert_allclose(ours[..., 1:], ref[..., 1:], atol=1.5)
+
+    def test_otsu_matches_cv2(self, rng):
+        img = np.concatenate(
+            [
+                rng.normal(60, 10, 500).clip(0, 255),
+                rng.normal(190, 12, 500).clip(0, 255),
+            ]
+        ).astype(np.uint8).reshape(25, 40)
+        t_ours = float(otsu_threshold(jnp.asarray(img)))
+        t_cv, _ = cv2.threshold(img, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        assert abs(t_ours - t_cv) <= 2.0
+
+    def test_gaussian_blur_close_to_cv2(self, rng):
+        img = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+        ours = np.asarray(gaussian_blur(jnp.asarray(img), ksize=5, sigma=1.1))
+        ref = cv2.GaussianBlur(img.astype(np.float32), (5, 5), 1.1,
+                               borderType=cv2.BORDER_REPLICATE)
+        np.testing.assert_allclose(ours, ref, atol=0.6)
+
+    def test_in_range(self):
+        img = np.array([[[10, 50, 90], [200, 50, 90]]], np.float32)
+        m = np.asarray(in_range(jnp.asarray(img), jnp.array([0, 40, 80]), jnp.array([100, 60, 100])))
+        assert m[0, 0] and not m[0, 1]
+
+
+def _disk_mask(h, w, cy, cx, r):
+    ys, xs = np.mgrid[:h, :w]
+    return (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+
+
+class TestCircles:
+    def test_disk_circularity_near_one(self):
+        m = _disk_mask(64, 64, 32, 32, 20)
+        c = float(mask_circularity(jnp.asarray(m)))
+        assert 0.7 < c <= 1.3  # discrete boundary, near-perfect circle
+
+    def test_square_less_circular_than_disk(self):
+        sq = np.zeros((64, 64), bool)
+        sq[16:48, 16:48] = True
+        c_sq = float(mask_circularity(jnp.asarray(sq)))
+        c_disk = float(mask_circularity(jnp.asarray(_disk_mask(64, 64, 32, 32, 16))))
+        assert c_sq < c_disk
+
+    def test_min_enclosing_circle(self):
+        m = _disk_mask(64, 64, 30, 40, 12)
+        cx, cy, r = np.asarray(min_enclosing_circle(jnp.asarray(m)))
+        assert abs(cx - 40) < 1 and abs(cy - 30) < 1 and abs(r - 12) < 1.5
+
+    def test_hough_finds_circle(self):
+        img = np.full((128, 128), 30, np.uint8)
+        cv2.circle(img, (64, 70), 25, 220, -1)
+        found = hough_circles(jnp.asarray(img), min_radius=15, max_radius=40,
+                              radius_step=1, vote_threshold=0.2)
+        assert found
+        c = found[0]
+        assert abs(c.cx - 64) <= 2 and abs(c.cy - 70) <= 2 and abs(c.radius - 25) <= 2
+
+    def test_region_circularity_bright_ball(self):
+        img = np.full((60, 60), 20, np.uint8)
+        cv2.circle(img, (30, 30), 18, 230, -1)
+        c = float(region_circularity(jnp.asarray(img.astype(np.float32))))
+        assert c > 0.7
+
+
+class TestBallRescoring:
+    def _ball_image(self):
+        img = np.full((200, 200, 3), 30, np.uint8)
+        cv2.circle(img, (100, 100), 30, (240, 240, 240), -1)
+        return img
+
+    def test_circular_detection_scores_higher(self):
+        img = self._ball_image()
+        # same base conf: a box on the ball vs a box on flat background
+        boxes = [(70, 70, 130, 130, 0.8), (0, 0, 60, 60, 0.8)]
+        best = rescore_detections(img, boxes)
+        assert best is not None
+        assert abs(best.cx - 100) < 1e-6 and abs(best.cy - 100) < 1e-6
+
+    def test_conf_threshold(self):
+        img = self._ball_image()
+        assert rescore_detections(img, [(70, 70, 130, 130, 0.1)]) is None
+
+    def test_monocular_depth_roundtrip(self):
+        f = estimate_focal_length(diameter_px=50.0, known_distance_mm=2000.0, known_diameter_mm=100.0)
+        z = depth_from_apparent_size(diameter_px=50.0, known_diameter_mm=100.0, focal_px=f)
+        assert abs(z - 2000.0) < 1e-9
+
+
+def _render_checkerboard(cols, rows, square_px=40, margin=60, angle_deg=0.0):
+    """Synthetic checkerboard; returns (image, (cols, rows) inner corners GT)."""
+    w = (cols + 1) * square_px + 2 * margin
+    h = (rows + 1) * square_px + 2 * margin
+    img = np.full((h, w), 255, np.uint8)
+    for i in range(rows + 1):
+        for j in range(cols + 1):
+            if (i + j) % 2 == 0:
+                y0 = margin + i * square_px
+                x0 = margin + j * square_px
+                img[y0 : y0 + square_px, x0 : x0 + square_px] = 0
+    # True corners sit on pixel boundaries; in pixel-center coordinates the
+    # boundary between pixel k-1 and k is k - 0.5.
+    gt = np.array(
+        [
+            [margin + (j + 1) * square_px - 0.5, margin + (i + 1) * square_px - 0.5]
+            for i in range(rows)
+            for j in range(cols)
+        ],
+        np.float64,
+    )
+    if angle_deg:
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), angle_deg, 1.0)
+        img = cv2.warpAffine(img, M, (w, h), borderValue=255)
+        gt = (np.c_[gt, np.ones(len(gt))] @ M.T)
+    return img, gt
+
+
+class TestCheckerboard:
+    @pytest.mark.parametrize("backend", ["jax", "cv2"])
+    def test_axis_aligned_board(self, backend):
+        img, gt = _render_checkerboard(7, 4)
+        ok, corners = find_chessboard_corners(img, (7, 4), backend=backend)
+        assert ok
+        # corner sets must match as sets to sub-pixel accuracy
+        d = np.linalg.norm(corners[:, None] - gt[None], axis=-1)
+        assert d.min(axis=1).max() < 0.7
+        # and the ordering must be row-major from top-left
+        assert corners[0, 0] < corners[6, 0]
+        assert corners[0, 1] < corners[-1, 1]
+
+    def test_rotated_board_jax(self):
+        img, gt = _render_checkerboard(7, 4, angle_deg=7.0)
+        ok, corners = find_chessboard_corners(img, (7, 4), backend="jax")
+        assert ok
+        d = np.linalg.norm(corners[:, None] - gt[None], axis=-1)
+        assert d.min(axis=1).max() < 1.0
+
+    def test_subpix_refinement_improves(self):
+        img, gt = _render_checkerboard(7, 4)
+        # perturb ground truth by up to 1.5px, refinement should pull back
+        rng = np.random.default_rng(0)
+        noisy = gt + rng.uniform(-1.5, 1.5, gt.shape)
+        refined = np.asarray(
+            refine_corners_subpix(jnp.asarray(img.astype(np.float32)), jnp.asarray(noisy))
+        )
+        err_before = np.linalg.norm(noisy - gt, axis=1).mean()
+        err_after = np.linalg.norm(refined - gt, axis=1).mean()
+        assert err_after < err_before
+        assert err_after < 0.5
