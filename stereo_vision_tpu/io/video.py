@@ -1,0 +1,128 @@
+"""Host-side video IO shims.
+
+Video decode and ffprobe stay on the host by design (SURVEY.md §2d:
+"ffprobe — host-side IO shim; not TPU work"); everything downstream is
+batched device work. Replaces the per-script frame-extraction loops
+(reference: intrinsic.py:31-105, extrinsic.py:171-229,
+calibrate_v4/optimal_frame_extractor.py:96) and the ffprobe timestamp
+extractor (flash_sync.py:15-133).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+VIDEO_EXTENSIONS = (".mp4", ".mov", ".avi", ".MP4", ".MOV")  # intrinsic.py:489-495
+
+
+def find_video(directory: str | Path, stem: str) -> Path | None:
+    """Locate a video by stem trying alternate extensions
+    (the reference's fallback chain, intrinsic.py:489-495)."""
+    d = Path(directory)
+    for ext in VIDEO_EXTENSIONS:
+        p = d / f"{stem}{ext}"
+        if p.exists():
+            return p
+    return None
+
+
+def iter_frames(
+    video_path: str | Path,
+    start: int = 0,
+    interval: int = 1,
+    max_frames: int | None = None,
+    grayscale: bool = False,
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (frame_index, RGB/gray ndarray) from a video file."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise IOError(f"could not open video: {video_path}")
+    if start:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    idx = start
+    emitted = 0
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if (idx - start) % interval == 0:
+                if grayscale:
+                    out = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                else:
+                    out = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                yield idx, out
+                emitted += 1
+                if max_frames is not None and emitted >= max_frames:
+                    break
+            idx += 1
+    finally:
+        cap.release()
+
+
+def extract_frames(
+    video_path: str | Path,
+    start: int = 0,
+    interval: int = 15,
+    max_frames: int = 20,
+    grayscale: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch frame extraction: (frames (T, H, W[, 3]), indices (T,)).
+
+    Defaults mirror the reference's sampling (interval 15, max 20,
+    start 30 handled by the caller's config — intrinsic.py:452-467).
+    """
+    frames, indices = [], []
+    for idx, f in iter_frames(video_path, start, interval, max_frames, grayscale):
+        frames.append(f)
+        indices.append(idx)
+    if not frames:
+        return np.empty((0,)), np.empty((0,), np.int64)
+    return np.stack(frames), np.asarray(indices)
+
+
+def video_info(video_path: str | Path) -> dict:
+    """fps / frame count / size via cv2 properties."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    try:
+        return {
+            "fps": cap.get(cv2.CAP_PROP_FPS),
+            "frame_count": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        }
+    finally:
+        cap.release()
+
+
+def extract_timestamps_ffprobe(video_path: str | Path) -> np.ndarray:
+    """Per-frame presentation timestamps via ffprobe
+    (flash_sync.py:15-133). Returns (T,) seconds; empty array if ffprobe
+    is unavailable."""
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe",
+                "-v", "quiet",
+                "-select_streams", "v:0",
+                "-show_entries", "frame=pts_time",
+                "-of", "json",
+                str(video_path),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        frames = json.loads(out.stdout).get("frames", [])
+        return np.array([float(f["pts_time"]) for f in frames if "pts_time" in f])
+    except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
+        return np.empty(0)

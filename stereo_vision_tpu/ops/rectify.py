@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from stereo_vision_tpu.ops.rotation import rodrigues, rodrigues_inv
@@ -69,6 +70,7 @@ def stereo_rectify(
     alpha: float = -1.0,
     new_image_size: tuple[int, int] | None = None,
     zero_disparity: bool = True,
+    horizontal_stereo: bool | None = None,
 ) -> RectifyResult:
     """Bouguet stereo rectification (cv2.stereoRectify parity).
 
@@ -81,6 +83,10 @@ def stereo_rectify(
         1 = keep all source pixels.
       new_image_size: optional (width, height) of the rectified images.
       zero_disparity: CALIB_ZERO_DISPARITY flag (reference always uses it).
+      horizontal_stereo: rig layout (True = side-by-side cameras). The
+        layout is a rig configuration fact; with concrete inputs it is
+        derived from T automatically, but under ``jit`` it must be given
+        explicitly (deriving it would need data-dependent control flow).
 
     Returns:
       RectifyResult(R1, R2, P1, P2, Q).
@@ -96,8 +102,17 @@ def stereo_rectify(
     r_r = rodrigues(-0.5 * om)
     t = r_r @ T
 
-    # idx: 0 = horizontal stereo, 1 = vertical stereo.
-    idx = int(jnp.abs(t[0]) <= jnp.abs(t[1]))  # static: layout is a config fact
+    # idx: 0 = horizontal stereo, 1 = vertical stereo (static config fact).
+    if horizontal_stereo is not None:
+        idx = 0 if horizontal_stereo else 1
+    else:
+        try:
+            idx = int(jnp.abs(t[0]) <= jnp.abs(t[1]))
+        except jax.errors.ConcretizationTypeError as e:
+            raise ValueError(
+                "stereo_rectify under jit needs horizontal_stereo=True/False "
+                "(the rig layout cannot be derived from a traced T)"
+            ) from e
     c = t[idx]
     nt = jnp.linalg.norm(t)
     uu = jnp.zeros(3).at[idx].set(jnp.where(c > 0, 1.0, -1.0))

@@ -1,0 +1,123 @@
+"""Sharded batched stereo-stream processing (BASELINE.json config #5).
+
+The reference processes video strictly one frame at a time on the host
+(``while cap.isOpened()`` — 3dpose.py:358, ball_drop.py:380). Here a
+window of frames from any number of streams is one device program:
+
+  (B, H, W) left+right batches -> rectify-remap -> disparity -> depth
+
+sharded over the (data, space) mesh: streams/frames on ``data``, image
+rows on ``space`` for the remap (per-pixel independent), with the
+disparity matcher data-parallel per pair. Host video decode feeds the
+device via double-buffered ``jax.device_put`` (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stereo_vision_tpu.ops.remap import remap_bilinear
+from stereo_vision_tpu.stereo.bm import StereoBMParams, stereo_bm
+from stereo_vision_tpu.stereo.depth import reproject_disparity_to_3d
+from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
+from stereo_vision_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+
+def batched_stereo_pipeline(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    maps: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    Q: jnp.ndarray,
+    matcher: str = "sgbm",
+    params: StereoBMParams | StereoSGBMParams | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, W) raw pairs -> (disparity (B, H, W), points3d (B, H, W, 3)).
+
+    One traced program: remap both views, run the dense matcher, reproject
+    through Q. vmap carries the batch axis; shard the inputs to distribute.
+    """
+    mx1, my1, mx2, my2 = maps
+
+    def one(l, r):
+        lr = remap_bilinear(l, mx1, my1)
+        rr = remap_bilinear(r, mx2, my2)
+        if matcher == "sgbm":
+            disp = stereo_sgbm(lr, rr, params or StereoSGBMParams())
+        elif matcher == "bm":
+            disp = stereo_bm(lr, rr, params or StereoBMParams())
+        else:
+            raise ValueError(f"unknown matcher: {matcher}")
+        pts = reproject_disparity_to_3d(disp, Q)
+        return disp, pts
+
+    return jax.vmap(one)(left, right)
+
+
+def make_sharded_pipeline(
+    mesh: Mesh,
+    maps,
+    Q,
+    matcher: str = "sgbm",
+    params=None,
+) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]:
+    """jit the batched pipeline with stream-batch sharding over ``data``.
+
+    The returned function takes (B, H, W) uint8 arrays; B must be divisible
+    by the mesh's data-axis size.
+    """
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    fn = functools.partial(
+        batched_stereo_pipeline, maps=maps, Q=Q, matcher=matcher, params=params
+    )
+    jfn = jax.jit(
+        fn,
+        in_shardings=(batch_sh, batch_sh),
+        out_shardings=(batch_sh, batch_sh),
+    )
+
+    def run(left, right):
+        return jfn(jax.device_put(left, batch_sh), jax.device_put(right, batch_sh))
+
+    return run
+
+
+class StereoStreamProcessor:
+    """Double-buffered host->device streaming around the sharded pipeline.
+
+    The host enqueues the next window (``jax.device_put`` is async) while
+    the device crunches the current one — the framework's replacement for
+    the reference's decode-then-process frame loop.
+    """
+
+    def __init__(self, mesh: Mesh, maps, Q, matcher: str = "sgbm", params=None):
+        self.mesh = mesh
+        self._sh = NamedSharding(mesh, P(DATA_AXIS))
+        self._fn = make_sharded_pipeline(mesh, maps, Q, matcher, params)
+        self._pending = None
+
+    def submit(self, left: np.ndarray, right: np.ndarray) -> None:
+        """Enqueue a (B, H, W) window; returns immediately."""
+        l = jax.device_put(jnp.asarray(left), self._sh)
+        r = jax.device_put(jnp.asarray(right), self._sh)
+        out = self._fn(l, r)
+        prev, self._pending = self._pending, out
+        # Keep at most one window in flight beyond the current one.
+        if prev is not None:
+            jax.block_until_ready(prev[0])
+
+    def drain(self):
+        """Wait for and return the last submitted window's results."""
+        if self._pending is None:
+            return None
+        disp, pts = self._pending
+        jax.block_until_ready(disp)
+        self._pending = None
+        return np.asarray(disp), np.asarray(pts)

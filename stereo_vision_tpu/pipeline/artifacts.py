@@ -1,0 +1,145 @@
+"""Artifact store — interop with the reference's on-disk calibration schema.
+
+Reads and writes the exact file layout the reference produces, so existing
+calibration results drop straight into this framework:
+
+- ``results/intrinsic_params/{cam}_matrix.txt`` / ``{cam}_distortion.txt``
+  / ``{cam}_intrinsics.pkl`` (reference: intrinsic.py:410-448),
+- ``results/extrinsic_params/stereo_rotation_matrix.txt``,
+  ``stereo_translation_vector.txt``, ``essential_matrix.txt``,
+  ``fundamental_matrix.txt``, ``extrinsic_params.pkl``
+  (extrinsic.py:457-460; load contract ball_drop.py:162-223),
+- rectification products ``rect_R1/R2.txt``, ``rect_P1/P2.txt``,
+  ``disparity_to_depth_matrix.txt`` (calibrate_v3/v4 schema, SURVEY.md §2c),
+- ``sync_data.pkl`` offset cache (ball_drop.py:15-74).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from stereo_vision_tpu.track.fusion import StereoRig
+
+
+class ArtifactStore:
+    """Test-directory-rooted artifact persistence (reference layout)."""
+
+    def __init__(self, test_dir: str | Path):
+        self.root = Path(test_dir)
+        self.results = self.root / "results"
+        self.intrinsic_dir = self.results / "intrinsic_params"
+        self.extrinsic_dir = self.results / "extrinsic_params"
+        self.rectify_dir = self.results / "rectification"
+        self.sync_dir = self.results / "sync_results"
+
+    # -- intrinsics ---------------------------------------------------------
+
+    def save_intrinsics(self, camera_id: str, K: np.ndarray, dist: np.ndarray, rms: float | None = None) -> None:
+        self.intrinsic_dir.mkdir(parents=True, exist_ok=True)
+        K = np.asarray(K, np.float64)
+        dist = np.asarray(dist, np.float64).reshape(1, -1)
+        np.savetxt(self.intrinsic_dir / f"{camera_id}_matrix.txt", K)
+        np.savetxt(self.intrinsic_dir / f"{camera_id}_distortion.txt", dist)
+        with open(self.intrinsic_dir / f"{camera_id}_intrinsics.pkl", "wb") as f:
+            pickle.dump((K, dist), f)
+        if rms is not None:
+            (self.intrinsic_dir / f"{camera_id}_info.txt").write_text(
+                f"Camera: {camera_id}\nRMS Reprojection Error: {rms}\n"
+            )
+
+    def load_intrinsics(self, camera_id: str) -> tuple[np.ndarray, np.ndarray]:
+        """pkl-first, txt fallback (ball_drop.py:176-189)."""
+        pkl = self.intrinsic_dir / f"{camera_id}_intrinsics.pkl"
+        if pkl.exists():
+            with open(pkl, "rb") as f:
+                K, dist = pickle.load(f)
+        else:
+            K = np.loadtxt(self.intrinsic_dir / f"{camera_id}_matrix.txt")
+            dist = np.loadtxt(self.intrinsic_dir / f"{camera_id}_distortion.txt")
+        return np.asarray(K, np.float64), np.asarray(dist, np.float64).reshape(-1)
+
+    # -- extrinsics ---------------------------------------------------------
+
+    def save_extrinsics(
+        self,
+        R: np.ndarray,
+        T: np.ndarray,
+        E: np.ndarray | None = None,
+        F: np.ndarray | None = None,
+    ) -> None:
+        self.extrinsic_dir.mkdir(parents=True, exist_ok=True)
+        np.savetxt(self.extrinsic_dir / "stereo_rotation_matrix.txt", np.asarray(R))
+        np.savetxt(
+            self.extrinsic_dir / "stereo_translation_vector.txt",
+            np.asarray(T).reshape(3, 1),
+        )
+        if E is not None:
+            np.savetxt(self.extrinsic_dir / "essential_matrix.txt", np.asarray(E))
+        if F is not None:
+            np.savetxt(self.extrinsic_dir / "fundamental_matrix.txt", np.asarray(F))
+        with open(self.extrinsic_dir / "extrinsic_params.pkl", "wb") as f:
+            pickle.dump({"R": np.asarray(R), "T": np.asarray(T).reshape(3, 1)}, f)
+
+    def load_extrinsics(self) -> tuple[np.ndarray, np.ndarray]:
+        """pkl-first, txt fallback (ball_drop.py:196-211)."""
+        pkl = self.extrinsic_dir / "extrinsic_params.pkl"
+        if pkl.exists():
+            with open(pkl, "rb") as f:
+                d = pickle.load(f)
+            return np.asarray(d["R"]), np.asarray(d["T"]).reshape(3, 1)
+        R = np.loadtxt(self.extrinsic_dir / "stereo_rotation_matrix.txt")
+        T = np.loadtxt(self.extrinsic_dir / "stereo_translation_vector.txt").reshape(3, 1)
+        return R, T
+
+    def load_rig(self) -> StereoRig:
+        """Full calibration bundle (load_calibration, ball_drop.py:162-223)."""
+        K1, d1 = self.load_intrinsics("left")
+        K2, d2 = self.load_intrinsics("right")
+        R, T = self.load_extrinsics()
+        return StereoRig(K1=K1, d1=d1, K2=K2, d2=d2, R=R, T=T)
+
+    # -- rectification ------------------------------------------------------
+
+    def save_rectification(self, R1, R2, P1, P2, Q) -> None:
+        self.rectify_dir.mkdir(parents=True, exist_ok=True)
+        np.savetxt(self.rectify_dir / "rect_R1.txt", np.asarray(R1))
+        np.savetxt(self.rectify_dir / "rect_R2.txt", np.asarray(R2))
+        np.savetxt(self.rectify_dir / "rect_P1.txt", np.asarray(P1))
+        np.savetxt(self.rectify_dir / "rect_P2.txt", np.asarray(P2))
+        np.savetxt(self.rectify_dir / "disparity_to_depth_matrix.txt", np.asarray(Q))
+
+    def load_rectification(self):
+        return tuple(
+            np.loadtxt(self.rectify_dir / n)
+            for n in (
+                "rect_R1.txt",
+                "rect_R2.txt",
+                "rect_P1.txt",
+                "rect_P2.txt",
+                "disparity_to_depth_matrix.txt",
+            )
+        )
+
+    # -- sync ----------------------------------------------------------------
+
+    def save_sync(self, left_flash: int, right_flash: int, offset: int) -> None:
+        self.sync_dir.mkdir(parents=True, exist_ok=True)
+        with open(self.sync_dir / "sync_data.pkl", "wb") as f:
+            pickle.dump(
+                {
+                    "left_flash_frame": left_flash,
+                    "right_flash_frame": right_flash,
+                    "frame_offset": offset,
+                },
+                f,
+            )
+
+    def load_sync(self) -> dict | None:
+        p = self.sync_dir / "sync_data.pkl"
+        if not p.exists():
+            return None
+        with open(p, "rb") as f:
+            return pickle.load(f)

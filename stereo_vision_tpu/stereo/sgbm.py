@@ -143,14 +143,17 @@ def _shift_cols(a, direction):
     return jnp.concatenate([a[1:], z], axis=0)
 
 
-def _aggregate_down(C, P1, P2):
+def _aggregate_down(C2, P1, P2):
     """Sum of the three downward direction volumes: (0,1), (1,1), (-1,1).
 
-    C: (H, W, D) int32. Returns (H, W, D).
+    C2: (2, H, W, D) int32 — the volume and its y-flip stacked, so the
+    downward and upward direction sets run in ONE scan (each step does 2x
+    the vector work instead of compiling a second scan; the flipped
+    output is un-flipped by the caller). Returns (2, H, W, D).
     """
-    W, D = C.shape[1], C.shape[2]
-    zero = jnp.zeros((W, D), C.dtype)
-    zmin = jnp.zeros((W, 1), C.dtype)
+    _, _, W, D = C2.shape
+    zero = jnp.zeros((2, W, D), C2.dtype)
+    zmin = jnp.zeros((2, W, 1), C2.dtype)
 
     def step(carry, c_row):
         (Lv, mv), (Ld, md), (Lu, mu) = carry
@@ -161,32 +164,32 @@ def _aggregate_down(C, P1, P2):
         return (((Lv2, mv2), (Ld2, md2), (Lu2, mu2)), out)
 
     init = ((zero, zmin), (zero, zmin), (zero, zmin))
-    _, S = jax.lax.scan(step, init, C)
-    return S
+    _, S = jax.lax.scan(step, init, jnp.moveaxis(C2, 1, 0))
+    return jnp.moveaxis(S, 0, 1)
 
 
-def _aggregate_horiz(C, P1, P2):
-    """Left-to-right direction volume. C: (H, W, D) -> (H, W, D)."""
-    H, D = C.shape[0], C.shape[2]
-    zero = jnp.zeros((H, D), C.dtype)
-    zmin = jnp.zeros((H, 1), C.dtype)
+def _aggregate_horiz(C2, P1, P2):
+    """Left-to-right direction volume for (2, H, W, D) stacked volumes
+    (the volume and its x-flip), one scan over columns."""
+    _, H, _, D = C2.shape
+    zero = jnp.zeros((2, H, D), C2.dtype)
+    zmin = jnp.zeros((2, H, 1), C2.dtype)
 
     def step(carry, c_col):
         L, m = carry
         L2, m2 = _sgm_update(c_col, L, m, P1, P2)
         return ((L2, m2), L2)
 
-    _, S = jax.lax.scan(step, (zero, zmin), jnp.moveaxis(C, 1, 0))
-    return jnp.moveaxis(S, 0, 1)
+    _, S = jax.lax.scan(step, (zero, zmin), jnp.moveaxis(C2, 2, 0))
+    return jnp.moveaxis(S, 0, 2)
 
 
 def _aggregate_8(C, P1, P2):
     """Full 8-direction aggregated cost volume (MODE_HH)."""
-    S = _aggregate_down(C, P1, P2)
-    S = S + jnp.flip(_aggregate_down(jnp.flip(C, 0), P1, P2), 0)
-    S = S + _aggregate_horiz(C, P1, P2)
-    S = S + jnp.flip(_aggregate_horiz(jnp.flip(C, 1), P1, P2), 1)
-    return S
+    Sv = _aggregate_down(jnp.stack([C, jnp.flip(C, 0)]), P1, P2)
+    S = Sv[0] + jnp.flip(Sv[1], 0)
+    Sh = _aggregate_horiz(jnp.stack([C, jnp.flip(C, 1)]), P1, P2)
+    return S + Sh[0] + jnp.flip(Sh[1], 1)
 
 
 def compute_cost_volume(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGBMParams) -> jnp.ndarray:

@@ -36,12 +36,29 @@ def render_board_views(n_frames=18, seed=0, noise=0.1, K=K_TRUE, dist=DIST_TRUE,
     obj = np.asarray(checkerboard_object_points(9, 6, 100.0))
     frames1, frames2, poses = [], [], []
     f = 0
+    max_attempts = 500 * n_frames
     while len(frames1) < n_frames:
         f += 1
+        if f > max_attempts:
+            raise RuntimeError(
+                f"rejection sampling stalled: {len(frames1)}/{n_frames} poses "
+                "visible in all cameras — adjust the rig/board geometry"
+            )
         rvec = rng.uniform(-0.55, 0.55, 3)
-        tvec = np.array(
-            [rng.uniform(-900, 500), rng.uniform(-600, 250), rng.uniform(1100, 2800)]
-        )
+        if stereo_RT is not None:
+            # Converged wide-baseline rig: boards must sit in the overlap
+            # volume (far and off-center toward camera 2).
+            tvec = np.array(
+                [
+                    rng.uniform(0, 3200),
+                    rng.uniform(-900, 500),
+                    rng.uniform(7000, 12000),
+                ]
+            )
+        else:
+            tvec = np.array(
+                [rng.uniform(-900, 500), rng.uniform(-600, 250), rng.uniform(1100, 2800)]
+            )
         pts = np.asarray(project_points(jnp.asarray(obj), rvec, tvec, jnp.asarray(K), jnp.asarray(dist)))
         if not ((pts > 20).all() and (pts[:, 0] < SIZE[0] - 20).all() and (pts[:, 1] < SIZE[1] - 20).all()):
             continue

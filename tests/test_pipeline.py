@@ -1,0 +1,182 @@
+"""Pipeline tests: config round-trip, artifact-store reference-schema
+interop, stage orchestration with gates, sharded streaming."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stereo_vision_tpu.pipeline import (
+    PipelineConfig,
+    BoardConfig,
+    ArtifactStore,
+    PipelineGateError,
+    run_intrinsic_stage,
+    run_extrinsic_stage,
+    run_rectification_stage,
+    run_sync_stage,
+)
+from stereo_vision_tpu.parallel import (
+    create_mesh,
+    batched_stereo_pipeline,
+    make_sharded_pipeline,
+    StereoStreamProcessor,
+)
+from stereo_vision_tpu.ops.rectify import stereo_rectify, init_undistort_rectify_map
+
+
+class TestConfig:
+    def test_json_roundtrip(self):
+        cfg = PipelineConfig(board=BoardConfig(9, 6, 25.0))
+        cfg2 = PipelineConfig.from_json(cfg.to_json())
+        assert cfg2.board.cols == 9 and cfg2.board.square_mm == 25.0
+        assert cfg2.track.confidence_threshold == 0.65
+
+    def test_defaults_match_reference(self):
+        cfg = PipelineConfig()
+        # intrinsic.py:452-467 defaults
+        assert cfg.board.size == (7, 4) and cfg.board.square_mm == 100.0
+        assert cfg.frames.interval == 15 and cfg.frames.max_frames == 20
+        # 3dpose.py:69-71
+        assert cfg.track.temporal_filter_weight == 0.7
+
+
+class TestArtifactStore:
+    def test_reference_schema_roundtrip(self, tmp_path):
+        store = ArtifactStore(tmp_path)
+        K = np.array([[1000.0, 0, 640], [0, 1000, 360], [0, 0, 1]])
+        d = np.array([-0.1, 0.02, 0.0, 0.0, 0.001, 0, 0, 0])
+        store.save_intrinsics("left", K, d, rms=0.4)
+        store.save_intrinsics("right", K, d)
+        R = np.eye(3)
+        T = np.array([-500.0, 0, 0])
+        store.save_extrinsics(R, T, E=np.eye(3), F=np.eye(3))
+        # files exist under the reference layout
+        assert (tmp_path / "results/intrinsic_params/left_matrix.txt").exists()
+        assert (tmp_path / "results/extrinsic_params/stereo_rotation_matrix.txt").exists()
+        rig = store.load_rig()
+        np.testing.assert_allclose(rig.K1, K)
+        np.testing.assert_allclose(rig.T.ravel(), T)
+
+    def test_txt_fallback(self, tmp_path):
+        store = ArtifactStore(tmp_path)
+        K = np.eye(3) * 900
+        K[2, 2] = 1
+        store.save_intrinsics("left", K, np.zeros(8))
+        # drop the pickle -> loader must fall back to txt (ball_drop.py:176-189)
+        (tmp_path / "results/intrinsic_params/left_intrinsics.pkl").unlink()
+        K2, d2 = store.load_intrinsics("left")
+        np.testing.assert_allclose(K2, K)
+
+    def test_sync_cache(self, tmp_path):
+        store = ArtifactStore(tmp_path)
+        assert store.load_sync() is None
+        store.save_sync(40, 47, 7)
+        s = store.load_sync()
+        assert s["frame_offset"] == 7
+
+
+def _project_board(K, dist, rvec, tvec, obj):
+    from stereo_vision_tpu.ops.distortion import project_points
+
+    return np.asarray(
+        project_points(jnp.asarray(obj), jnp.asarray(rvec), jnp.asarray(tvec),
+                       jnp.asarray(K), jnp.asarray(dist))
+    )
+
+
+class TestStages:
+    def test_sync_stage(self, tmp_path):
+        rng = np.random.default_rng(0)
+        T, H, W = 80, 12, 12
+        left = np.clip(40 + rng.normal(0, 2, (T, H, W)), 0, 255).astype(np.uint8)
+        right = left.copy()
+        left[30] = 200
+        right[35] = 200
+        store = ArtifactStore(tmp_path)
+        rep = run_sync_stage(store, PipelineConfig(), left, right)
+        assert rep.metrics["offset"] == 5
+        assert store.load_sync()["frame_offset"] == 5
+
+    def test_rectification_stage(self, tmp_path):
+        store = ArtifactStore(tmp_path)
+        K = np.array([[1000.0, 0, 640], [0, 1000, 360], [0, 0, 1]])
+        store.save_intrinsics("left", K, np.zeros(8))
+        store.save_intrinsics("right", K, np.zeros(8))
+        store.save_extrinsics(np.eye(3), np.array([-500.0, 0, 0]))
+        rep = run_rectification_stage(store, (1280, 720))
+        assert rep.status == "pass"
+        R1, R2, P1, P2, Q = store.load_rectification()
+        assert R1.shape == (3, 3) and Q.shape == (4, 4)
+
+    def test_extrinsic_gate_fails_on_garbage(self, tmp_path):
+        store = ArtifactStore(tmp_path)
+        K = np.array([[1000.0, 0, 640], [0, 1000, 360], [0, 0, 1]])
+        store.save_intrinsics("left", K, np.zeros(8))
+        store.save_intrinsics("right", K, np.zeros(8))
+        rng = np.random.default_rng(1)
+        junk = rng.uniform(0, 1000, (6, 28, 2))
+        with pytest.raises(PipelineGateError):
+            run_extrinsic_stage(store, PipelineConfig(), junk, junk + rng.uniform(0, 50, junk.shape))
+
+
+class TestShardedStreaming:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        K = jnp.array([[300.0, 0, 96.0], [0, 300.0, 64.0], [0, 0, 1.0]])
+        dist = jnp.zeros(8)
+        R = jnp.eye(3)
+        T = jnp.array([-100.0, 0.0, 0.0])
+        size = (192, 128)  # (W, H)
+        R1, R2, P1, P2, Q = stereo_rectify(K, dist, K, dist, size, R, T, alpha=0.0)
+        mx1, my1 = init_undistort_rectify_map(K, dist, R1, P1, size)
+        mx2, my2 = init_undistort_rectify_map(K, dist, R2, P2, size)
+        return (mx1, my1, mx2, my2), Q
+
+    def test_batched_pipeline_shapes(self, setup):
+        maps, Q = setup
+        rng = np.random.default_rng(0)
+        B, H, W = 2, 128, 192
+        left = jnp.asarray(rng.integers(0, 255, (B, H, W)), jnp.int32)
+        right = jnp.asarray(rng.integers(0, 255, (B, H, W)), jnp.int32)
+        from stereo_vision_tpu.stereo.bm import StereoBMParams
+
+        disp, pts = batched_stereo_pipeline(
+            left, right, maps, Q, matcher="bm",
+            params=StereoBMParams(num_disparities=16, block_size=9),
+        )
+        assert disp.shape == (B, H, W)
+        assert pts.shape == (B, H, W, 3)
+
+    def test_sharded_pipeline_runs_on_mesh(self, setup, cpu_mesh):
+        maps, Q = setup
+        rng = np.random.default_rng(1)
+        B, H, W = 4, 128, 192
+        left = rng.integers(0, 255, (B, H, W)).astype(np.int32)
+        right = rng.integers(0, 255, (B, H, W)).astype(np.int32)
+        from stereo_vision_tpu.stereo.bm import StereoBMParams
+
+        mesh = create_mesh(4, 1, devices=list(cpu_mesh.devices.ravel()))
+        run = make_sharded_pipeline(
+            mesh, maps, Q, matcher="bm",
+            params=StereoBMParams(num_disparities=16, block_size=9),
+        )
+        disp, pts = run(left, right)
+        assert disp.shape == (B, H, W)
+
+    def test_stream_processor_double_buffer(self, setup, cpu_mesh):
+        maps, Q = setup
+        from stereo_vision_tpu.stereo.bm import StereoBMParams
+
+        mesh = create_mesh(4, 1, devices=list(cpu_mesh.devices.ravel()))
+        proc = StereoStreamProcessor(
+            mesh, maps, Q, matcher="bm",
+            params=StereoBMParams(num_disparities=16, block_size=9),
+        )
+        rng = np.random.default_rng(2)
+        for _ in range(3):
+            l = rng.integers(0, 255, (4, 128, 192)).astype(np.int32)
+            proc.submit(l, l)
+        disp, pts = proc.drain()
+        assert disp.shape == (4, 128, 192)
+        assert proc.drain() is None
