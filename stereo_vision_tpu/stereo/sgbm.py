@@ -46,6 +46,7 @@ class StereoSGBMParams(NamedTuple):
     uniqueness_ratio: int = 0
     speckle_window_size: int = 0   # 0 disables
     speckle_range: int = 0
+    backend: str = "auto"          # "auto" | "scan" | "pallas"
 
     @property
     def P1(self) -> int:
@@ -134,13 +135,13 @@ def _sgm_update(c, L, minL, P1, P2):
 
 
 def _shift_cols(a, direction):
-    """Shift along the column axis (axis 0 of a (W, D) array), zero-fill."""
+    """Shift along the column axis (axis -2 of a (..., W, D) array), zero-fill."""
     if direction == 0:
         return a
-    z = jnp.zeros_like(a[:1])
+    z = jnp.zeros_like(a[..., :1, :])
     if direction > 0:  # predecessor at x-1: value for column x comes from x-1
-        return jnp.concatenate([z, a[:-1]], axis=0)
-    return jnp.concatenate([a[1:], z], axis=0)
+        return jnp.concatenate([z, a[..., :-1, :]], axis=-2)
+    return jnp.concatenate([a[..., 1:, :], z], axis=-2)
 
 
 def _aggregate_down(C2, P1, P2):
@@ -184,8 +185,19 @@ def _aggregate_horiz(C2, P1, P2):
     return jnp.moveaxis(S, 0, 2)
 
 
-def _aggregate_8(C, P1, P2):
-    """Full 8-direction aggregated cost volume (MODE_HH)."""
+def _aggregate_8(C, P1, P2, backend: str = "scan"):
+    """Full 8-direction aggregated cost volume (MODE_HH).
+
+    backend 'scan' runs the lax.scan reference; 'pallas' runs the VMEM-
+    resident TPU kernels (stereo_vision_tpu.stereo.sgm_pallas), which are
+    bit-identical; 'auto' picks pallas on TPU backends.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+    if backend == "pallas":
+        from stereo_vision_tpu.stereo.sgm_pallas import aggregate_8_pallas
+
+        return aggregate_8_pallas(C, int(P1), int(P2))
     Sv = _aggregate_down(jnp.stack([C, jnp.flip(C, 0)]), P1, P2)
     S = Sv[0] + jnp.flip(Sv[1], 0)
     Sh = _aggregate_horiz(jnp.stack([C, jnp.flip(C, 1)]), P1, P2)
@@ -229,7 +241,7 @@ def stereo_sgbm(
     C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
     Wv = C.shape[1]
 
-    S = _aggregate_8(C, P1, P2)  # (H, Wv, D)
+    S = _aggregate_8(C, P1, P2, backend=params.backend)  # (H, Wv, D)
 
     best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
     minS = jnp.min(S, axis=-1)

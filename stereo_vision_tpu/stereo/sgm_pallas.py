@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for semi-global matching aggregation.
+
+The 8-direction SGM scans are the sequential core of dense stereo
+(SURVEY.md §7 hard part #1). The XLA ``lax.scan`` formulation pays
+~50 µs/step of loop overhead (1872 steps at 720p — ~100 ms); these
+kernels instead run the scans as Pallas grid iterations with the carry
+volumes resident in VMEM scratch, the cost rows streamed HBM→VMEM by the
+Pallas pipeline, and all arithmetic in float32 — every value is
+an integer far below 2^24 (windowed BT cost <= ~4.7k, L <= cost_max +
+P2, 8-sum <= ~45k), so f32 is exact, and f32 min/add vectorize on every
+Mosaic build (int16 vector min does not legalize).
+
+Two kernels cover all 8 directions:
+- vertical: the three "down" directions and the three "up" directions in
+  one pass (step r reads row r and row H-1-r, keeping both carry sets in
+  scratch),
+- horizontal: left->right and right->left in one pass over columns.
+
+Both produce float32 partial sums; the caller adds them in int32.
+Semantics are bit-identical to the lax.scan reference implementation
+(tests/test_sgm_pallas.py asserts exact equality), which itself is
+cv2.StereoSGBM MODE_HH parity (tests/test_stereo_parity.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Fill value for out-of-range d±1 neighbors: far above any reachable L.
+_FILL = 1.0e6
+
+
+def _update(c, L, minL, P1, P2):
+    """One SGM step on (..., D) float32 blocks (exact integer math).
+
+    L' = c + min(L, L(d-1)+P1, L(d+1)+P1, minL+P2) - minL.
+    """
+    fill = jnp.full_like(L[..., :1], _FILL)
+    Lm = jnp.concatenate([fill, L[..., :-1]], axis=-1)
+    Lp = jnp.concatenate([L[..., 1:], fill], axis=-1)
+    cand = jnp.minimum(jnp.minimum(L, minL + P2), jnp.minimum(Lm, Lp) + P1)
+    return c + cand - minL
+
+
+def _min_d(L):
+    return jnp.min(L, axis=-1, keepdims=True)
+
+
+def _shift_w(a, direction):
+    """Shift a (W, D) block along W (sublanes); zero-fill (SGM border: the
+    out-of-image predecessor contributes L=0, min=0 — matching the scan
+    reference's zero-filled column shifts)."""
+    z = jnp.zeros_like(a[:1])
+    if direction > 0:
+        return jnp.concatenate([z, a[:-1]], axis=0)
+    return jnp.concatenate([a[1:], z], axis=0)
+
+
+def _vertical_kernel(P1, P2, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, L_ref):
+    """Grid step r: advance the 3 down-direction carries with row r and the
+    3 up-direction carries with row H-1-r.
+
+    L_ref scratch layout: (6, W, D) float32 —
+      [0] down-vertical  [1] down-diag+1  [2] down-diag-1
+      [3] up-vertical    [4] up-diag+1    [5] up-diag-1
+    Diagonal carries are shifted one column per row, exactly like the scan
+    reference (for the up set the reference scans the y-flipped volume
+    with the SAME column-shift directions, so the shifts here match).
+    """
+    r = pl.program_id(0)
+    c_dn = c_dn_ref[0]
+    c_up = c_up_ref[0]
+
+    @pl.when(r == 0)
+    def _init():
+        # Zero carry + zero min => first-row L equals the cost row.
+        for k, c in ((0, c_dn), (3, c_up)):
+            L_ref[k] = c
+            L_ref[k + 1] = c
+            L_ref[k + 2] = c
+        s_dn_ref[0] = c_dn * 3
+        s_up_ref[0] = c_up * 3
+
+    @pl.when(r != 0)
+    def _step():
+        for k, c in ((0, c_dn), (3, c_up)):
+            Lv = L_ref[k]
+            Ld = _shift_w(L_ref[k + 1], 1)
+            Lu = _shift_w(L_ref[k + 2], -1)
+            Lv2 = _update(c, Lv, _min_d(Lv), P1, P2)
+            # Shifted-in zero columns carry (L=0, min=0) -> L' = c there.
+            md = _shift_w(_min_d(L_ref[k + 1]), 1)
+            mu = _shift_w(_min_d(L_ref[k + 2]), -1)
+            Ld2 = _update(c, Ld, md, P1, P2)
+            Lu2 = _update(c, Lu, mu, P1, P2)
+            L_ref[k] = Lv2
+            L_ref[k + 1] = Ld2
+            L_ref[k + 2] = Lu2
+            out = Lv2 + Ld2 + Lu2
+            if k == 0:
+                s_dn_ref[0] = out
+            else:
+                s_up_ref[0] = out
+
+
+_BW = 8  # horizontal block width (TPU sublane granularity)
+
+
+def _horizontal_kernel(P1, P2, reverse, c_ref, s_ref, L_ref):
+    """Grid step b: advance one horizontal carry through the _BW columns of
+    its block. ``reverse=False``: L->R over blocks 0..nB-1, columns 0.._BW-1;
+    ``reverse=True``: R->L (the caller's index map feeds blocks right to
+    left; columns are traversed in reverse inside the block).
+    L_ref scratch: (H, D) float32. One direction per call — two directions
+    in one kernel needs 4 double-buffered (H, _BW, D) blocks, which blows
+    the 16 MB VMEM budget at 720p/D=128."""
+    b = pl.program_id(0)
+
+    for j in range(_BW):
+        col = _BW - 1 - j if reverse else j
+        c = c_ref[:, col]
+        first = (b == 0) & (j == 0)
+
+        @pl.when(first)
+        def _init(c=c, col=col):
+            L_ref[:] = c
+            s_ref[:, col] = c
+
+        @pl.when(jnp.logical_not(first))
+        def _step(c=c, col=col):
+            L2 = _update(c, L_ref[:], _min_d(L_ref[:]), P1, P2)
+            L_ref[:] = L2
+            s_ref[:, col] = L2
+
+
+@functools.partial(jax.jit, static_argnames=("P1", "P2", "interpret"))
+def aggregate_8_pallas(
+    C: jnp.ndarray, P1: int, P2: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Full 8-direction aggregated cost volume via two Pallas kernels.
+
+    Args:
+      C: (H, W, D) int16/int32 windowed matching cost (values < ~5k).
+      P1, P2: SGM penalties (static).
+
+    Returns:
+      (H, W, D) int32 sum over the 8 directional volumes.
+    """
+    H, W0, D = C.shape
+    # Zero-pad W to the horizontal block width: zero-cost columns carry
+    # (L=0, min=0), which is exactly the SGM border rule, so padding is
+    # semantics-preserving for every direction (incl. diagonal shift-ins).
+    W = ((W0 + _BW - 1) // _BW) * _BW
+    cf = C.astype(jnp.float32)
+    if W != W0:
+        cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
+
+    vert = pl.pallas_call(
+        functools.partial(_vertical_kernel, int(P1), int(P2)),
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+            jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
+        interpret=interpret,
+    )
+    s_dn, s_up = vert(cf, cf)
+
+    nB = W // _BW
+
+    def horiz_call(reverse: bool):
+        if reverse:
+            index_map = lambda b: (0, nB - 1 - b, 0)
+        else:
+            index_map = lambda b: (0, b, 0)
+        return pl.pallas_call(
+            functools.partial(_horizontal_kernel, int(P1), int(P2), reverse),
+            grid=(nB,),
+            in_specs=[pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((H, D), jnp.float32)],
+            interpret=interpret,
+        )(cf)
+
+    s_lr = horiz_call(False)
+    s_rl = horiz_call(True)
+
+    S = (
+        s_dn.astype(jnp.int32)
+        + s_up.astype(jnp.int32)
+        + s_lr.astype(jnp.int32)
+        + s_rl.astype(jnp.int32)
+    )
+    return S[:, :W0, :]

@@ -250,3 +250,31 @@ class TestValidators:
     def test_baseline(self):
         r = validate_baseline(np.array([-500.0, 0, 0]), 505.0, tolerance_percent=2.0)
         assert r.passed and abs(r.error_percent - 100 * 5 / 505) < 1e-6
+
+
+class TestDualCamera:
+    def test_best_camera_selection_and_occlusion(self):
+        from stereo_vision_tpu.track.dual_camera import analyze_dual_camera, occlusion_matrix
+        from stereo_vision_tpu.track.joints import MEDIAPIPE_INDICES, ANGLE_NAMES
+
+        T = 6
+        rng = np.random.default_rng(0)
+        lm = np.zeros((T, 33, 4))
+        lm[:, :, :3] = rng.uniform(0, 1, (T, 33, 3))
+        left = lm.copy()
+        right = lm.copy()  # identical geometry -> identical angles
+        left[:, :, 3] = 0.9
+        right[:, :, 3] = 0.6
+        # drop right camera's hip visibility entirely
+        right[:, 23, 3] = 0.1
+        res = analyze_dual_camera(left, right, conf_threshold=0.5)
+        assert res.left_angles.shape == (T, 8)
+        # left wins everywhere it is visible (higher confidence)
+        finite = np.isfinite(res.combined_angles)
+        assert np.all(res.chose_left[finite])
+        stats = res.occlusion_stats
+        # left_hip angle requires left_hip joint -> right camera occluded
+        assert stats["left_hip"]["left_visible"] == T
+        assert stats["left_hip"]["both_visible"] == 0
+        m = occlusion_matrix(stats)
+        assert m.shape == (8, 4) and m.sum() == 8 * T
