@@ -1,0 +1,251 @@
+"""Command-line interface.
+
+Replaces the reference's per-script argparse mains and shell menu
+(reference: intrinsic.py:450-536, extrinsic.py:567-, 3dpose.py:1296-1351,
+ball_drop.py:783-, flash_sync CLI, SCRIPT_RUNNER.sh) with one typed
+entry point:
+
+  python -m stereo_vision_tpu intrinsic  --test-dir T [--board 7x4 --square 100]
+  python -m stereo_vision_tpu extrinsic  --test-dir T [--actual-distance D]
+  python -m stereo_vision_tpu rectify    --test-dir T --size 1920x1080
+  python -m stereo_vision_tpu sync       --test-dir T --left L.mp4 --right R.mp4
+  python -m stereo_vision_tpu disparity  --test-dir T --left L.png --right R.png
+  python -m stereo_vision_tpu bench      [--matcher sgbm]
+
+The test-dir layout convention follows the reference
+(stereo_calibration/README.md:9-34): videos under <test-dir>/videos/,
+results under <test-dir>/results/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _parse_pair(s: str, sep: str = "x") -> tuple[int, int]:
+    a, b = s.lower().split(sep)
+    return int(a), int(b)
+
+
+def _detect_corners_from_video(video, board, frames_cfg):
+    from stereo_vision_tpu.detect.checkerboard import find_chessboard_corners
+    from stereo_vision_tpu.io.video import extract_frames
+
+    frames, idx = extract_frames(
+        video,
+        start=frames_cfg.start_frame,
+        interval=frames_cfg.interval,
+        max_frames=frames_cfg.max_frames,
+        grayscale=True,
+    )
+    corners, kept = [], []
+    for f, i in zip(frames, idx):
+        ok, c = find_chessboard_corners(f, board, backend="auto")
+        if ok:
+            corners.append(c)
+            kept.append(i)
+    if not corners:
+        return None, None, None
+    size = (frames.shape[2], frames.shape[1])
+    return np.stack(corners), np.asarray(kept), size
+
+
+def cmd_intrinsic(args) -> int:
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.pipeline.config import PipelineConfig, BoardConfig
+    from stereo_vision_tpu.pipeline.stages import run_intrinsic_stage
+    from stereo_vision_tpu.io.video import find_video
+
+    cols, rows = _parse_pair(args.board)
+    cfg = PipelineConfig(board=BoardConfig(cols, rows, args.square))
+    store = ArtifactStore(args.test_dir)
+    detections, size = {}, None
+    for cam in ("left", "right"):
+        video = find_video(Path(args.test_dir) / "videos", f"{cam}_intrinsic")
+        if video is None:
+            print(f"no {cam}_intrinsic video found", file=sys.stderr)
+            return 2
+        c, _, size = _detect_corners_from_video(video, cfg.board.size, cfg.frames)
+        if c is None:
+            print(f"no checkerboards detected for {cam}", file=sys.stderr)
+            return 2
+        detections[cam] = c
+    reports = run_intrinsic_stage(store, cfg, detections, size)
+    for r in reports:
+        print(json.dumps({"stage": r.name, "status": r.status, **r.metrics}))
+    return 0
+
+
+def cmd_extrinsic(args) -> int:
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.pipeline.config import PipelineConfig, BoardConfig, StereoConfig
+    from stereo_vision_tpu.pipeline.stages import run_extrinsic_stage
+    from stereo_vision_tpu.io.video import find_video
+
+    cols, rows = _parse_pair(args.board)
+    cfg = PipelineConfig(
+        board=BoardConfig(cols, rows, args.square),
+        stereo=StereoConfig(actual_baseline_mm=args.actual_distance),
+    )
+    store = ArtifactStore(args.test_dir)
+    per_cam, size = {}, None
+    for cam in ("left", "right"):
+        video = find_video(Path(args.test_dir) / "videos", f"{cam}_extrinsic")
+        if video is None:
+            print(f"no {cam}_extrinsic video found", file=sys.stderr)
+            return 2
+        c, kept, size = _detect_corners_from_video(video, cfg.board.size, cfg.frames)
+        per_cam[cam] = (c, kept)
+    # Key-join on frame index (extrinsic.py:350-374 semantics).
+    lk = {int(i): c for c, i in zip(*per_cam["left"])}
+    rk = {int(i): c for c, i in zip(*per_cam["right"])}
+    common = sorted(set(lk) & set(rk))
+    if not common:
+        print("no matching stereo frames", file=sys.stderr)
+        return 2
+    cl = np.stack([lk[i] for i in common])
+    cr = np.stack([rk[i] for i in common])
+    rep = run_extrinsic_stage(store, cfg, cl, cr, size)
+    print(json.dumps({"stage": rep.name, "status": rep.status, **rep.metrics}))
+    return 0
+
+
+def cmd_rectify(args) -> int:
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.pipeline.stages import run_rectification_stage
+
+    store = ArtifactStore(args.test_dir)
+    rep = run_rectification_stage(store, _parse_pair(args.size))
+    print(json.dumps({"stage": rep.name, "status": rep.status, **rep.metrics}))
+    return 0
+
+
+def cmd_sync(args) -> int:
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.pipeline.config import PipelineConfig
+    from stereo_vision_tpu.pipeline.stages import run_sync_stage
+    from stereo_vision_tpu.io.video import extract_frames
+
+    lf, _ = extract_frames(args.left, max_frames=args.max_frames, grayscale=True)
+    rf, _ = extract_frames(args.right, max_frames=args.max_frames, grayscale=True)
+    rep = run_sync_stage(ArtifactStore(args.test_dir), PipelineConfig(), lf, rf)
+    print(json.dumps({"stage": rep.name, "status": rep.status, **rep.metrics}))
+    return 0
+
+
+def cmd_disparity(args) -> int:
+    import cv2
+    import jax.numpy as jnp
+
+    from stereo_vision_tpu.stereo import (
+        StereoBMParams,
+        StereoSGBMParams,
+        stereo_bm,
+        stereo_sgbm,
+    )
+
+    left = cv2.imread(args.left, cv2.IMREAD_GRAYSCALE)
+    right = cv2.imread(args.right, cv2.IMREAD_GRAYSCALE)
+    if left is None or right is None:
+        print("could not read images", file=sys.stderr)
+        return 2
+    if args.matcher == "bm":
+        disp = stereo_bm(
+            jnp.asarray(left, jnp.int32),
+            jnp.asarray(right, jnp.int32),
+            StereoBMParams(num_disparities=args.num_disparities, block_size=args.block_size),
+        )
+    else:
+        disp = stereo_sgbm(
+            jnp.asarray(left, jnp.int32),
+            jnp.asarray(right, jnp.int32),
+            StereoSGBMParams(
+                num_disparities=args.num_disparities,
+                block_size=args.block_size,
+                uniqueness_ratio=10,
+            ),
+        )
+    d = np.asarray(disp)
+    out = Path(args.test_dir) / "results" / "disparity"
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "disparity.npy", d)
+    valid = d > -1
+    vis = np.zeros_like(d)
+    if valid.any():
+        vis[valid] = d[valid] / max(d[valid].max(), 1e-6) * 255
+    cv2.imwrite(str(out / "disparity.png"), vis.astype(np.uint8))
+    print(
+        json.dumps(
+            {
+                "stage": "disparity",
+                "valid_fraction": float(valid.mean()),
+                "mean_disparity": float(d[valid].mean()) if valid.any() else None,
+                "output": str(out / "disparity.npy"),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="stereo_vision_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pi = sub.add_parser("intrinsic", help="per-camera calibration")
+    pi.add_argument("--test-dir", required=True)
+    pi.add_argument("--board", default="7x4", help="inner corners, e.g. 7x4")
+    pi.add_argument("--square", type=float, default=100.0, help="square size mm")
+    pi.set_defaults(fn=cmd_intrinsic)
+
+    pe = sub.add_parser("extrinsic", help="stereo calibration")
+    pe.add_argument("--test-dir", required=True)
+    pe.add_argument("--board", default="7x4")
+    pe.add_argument("--square", type=float, default=100.0)
+    pe.add_argument("--actual-distance", type=float, default=None)
+    pe.set_defaults(fn=cmd_extrinsic)
+
+    pr = sub.add_parser("rectify", help="Bouguet rectification maps")
+    pr.add_argument("--test-dir", required=True)
+    pr.add_argument("--size", default="1920x1080")
+    pr.set_defaults(fn=cmd_rectify)
+
+    ps = sub.add_parser("sync", help="flash synchronization")
+    ps.add_argument("--test-dir", required=True)
+    ps.add_argument("--left", required=True)
+    ps.add_argument("--right", required=True)
+    ps.add_argument("--max-frames", type=int, default=900)
+    ps.set_defaults(fn=cmd_sync)
+
+    pd = sub.add_parser("disparity", help="dense disparity on an image pair")
+    pd.add_argument("--test-dir", required=True)
+    pd.add_argument("--left", required=True)
+    pd.add_argument("--right", required=True)
+    pd.add_argument("--matcher", choices=("bm", "sgbm"), default="sgbm")
+    pd.add_argument("--num-disparities", type=int, default=64)
+    pd.add_argument("--block-size", type=int, default=5)
+    pd.set_defaults(fn=cmd_disparity)
+
+    pb = sub.add_parser("bench", help="headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,17 +61,19 @@ def prefilter_xsobel(img: jnp.ndarray, cap: int = 31) -> jnp.ndarray:
 def _box_sum_valid(x: jnp.ndarray, bs: int) -> jnp.ndarray:
     """Exact integer box sum over a bs x bs window; 'valid' output size.
 
-    (..., H, W) -> (..., H-bs+1, W-bs+1) via integral images.
+    (..., H, W) -> (..., H-bs+1, W-bs+1) via bs static-shift adds per axis
+    (fuses to one pass per axis on TPU; cumsum would lower to O(log n)
+    full-volume passes).
     """
-    c = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
-    pad = [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)]
-    c = jnp.pad(c, pad)
-    return (
-        c[..., bs:, bs:]
-        - c[..., :-bs, bs:]
-        - c[..., bs:, :-bs]
-        + c[..., :-bs, :-bs]
-    )
+    Ho = x.shape[-2] - bs + 1
+    Wo = x.shape[-1] - bs + 1
+    y = x[..., 0:Ho, :]
+    for k in range(1, bs):
+        y = y + x[..., k : k + Ho, :]
+    out = y[..., :, 0:Wo]
+    for k in range(1, bs):
+        out = out + y[..., :, k : k + Wo]
+    return out
 
 
 def _sad_cost_volume(lp: jnp.ndarray, rp: jnp.ndarray, ndisp: int, mindisp: int, bs: int) -> jnp.ndarray:

@@ -113,16 +113,29 @@ def _bt_channel_cost(p1row: jnp.ndarray, p2row: jnp.ndarray, ndisp: int, mindisp
         c1 = jnp.maximum(jnp.maximum(0, v - u1), u0 - v)
         return jnp.minimum(c0, c1)
 
-    return jnp.moveaxis(jax.vmap(per_d)(jnp.arange(ndisp)), 0, -1)  # (H, W, D)
+    return jax.vmap(per_d, out_axes=-1)(jnp.arange(ndisp))  # (H, W, D)
 
 
 def _box_filter_same(x: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """bs x bs box sum over the first two axes, replicate-padded (cv2 clamp)."""
+    """bs x bs box sum over the first two axes, replicate-padded (cv2 clamp).
+
+    Implemented as bs static-shift adds per axis (separable): for SGBM
+    block sizes (3-11) this fuses into one read pass per axis, unlike
+    cumsum, which XLA lowers to O(log n) full-volume passes.
+    """
     r = bs // 2
-    xp = jnp.pad(x, ((r, r), (r, r)) + ((0, 0),) * (x.ndim - 2), mode="edge")
-    c = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
-    c = jnp.pad(c, ((1, 0), (1, 0)) + ((0, 0),) * (x.ndim - 2))
-    return c[bs:, bs:] - c[:-bs, bs:] - c[bs:, :-bs] + c[:-bs, :-bs]
+    rest = ((0, 0),) * (x.ndim - 2)
+    xp = jnp.pad(x, ((r, r),) + ((0, 0),) + rest, mode="edge")
+    H = x.shape[0]
+    y = xp[0:H]
+    for k in range(1, bs):
+        y = y + xp[k : k + H]
+    yp = jnp.pad(y, ((0, 0), (r, r)) + rest, mode="edge")
+    W = x.shape[1]
+    out = yp[:, 0:W]
+    for k in range(1, bs):
+        out = out + yp[:, k : k + W]
+    return out
 
 
 def _sgm_update(c, L, minL, P1, P2):

@@ -1,0 +1,65 @@
+"""Reporting smoke tests: every artifact writes a non-empty file."""
+
+import numpy as np
+
+from stereo_vision_tpu.pipeline.reporting import (
+    save_rectification_preview,
+    save_distortion_map,
+    save_camera_pose_plot,
+    save_angle_series,
+    save_trajectory_3d,
+    save_occlusion_heatmap,
+    smoothing_comparison_stats,
+    save_calibration_report,
+)
+from stereo_vision_tpu.track.validators import ValidationResult
+
+
+def test_all_reports_write(tmp_path, rng):
+    img = rng.integers(0, 255, (120, 160)).astype(np.uint8)
+    p = save_rectification_preview(img, img, tmp_path / "rect.png")
+    assert p.stat().st_size > 0
+
+    ys, xs = np.mgrid[0:120, 0:160].astype(np.float32)
+    p = save_distortion_map(xs + 3, ys - 2, tmp_path / "dist.png")
+    assert p.stat().st_size > 0
+
+    p = save_camera_pose_plot(np.eye(3), np.array([-500.0, 0, 0]), tmp_path / "rig.png")
+    assert p.stat().st_size > 0
+
+    angles = rng.uniform(0, 180, (50, 8))
+    p = save_angle_series(angles, 30.0, tmp_path / "angles.png", smoothed=angles)
+    assert p.stat().st_size > 0
+
+    seq = rng.normal(0, 100, (40, 13, 3))
+    p = save_trajectory_3d(seq, tmp_path / "traj.png")
+    assert p.stat().st_size > 0
+
+    p = save_occlusion_heatmap(rng.integers(0, 50, (8, 4)), tmp_path / "occ.png")
+    assert p.stat().st_size > 0
+
+
+def test_smoothing_stats_reduction(rng):
+    clean = np.cumsum(rng.normal(0, 1, (60, 13, 3)), axis=0)
+    noisy = clean + rng.normal(0, 5, clean.shape)
+    stats = smoothing_comparison_stats(noisy, clean)
+    assert stats["jitter_after"] < stats["jitter_before"]
+    assert stats["jitter_reduction_pct"] > 0
+
+
+def test_pdf_report(tmp_path):
+    p = save_calibration_report(
+        tmp_path / "report.pdf",
+        intrinsics={
+            "left": {"K": np.eye(3) * 1000, "dist": np.zeros(8), "rms": 0.31},
+            "right": {"K": np.eye(3) * 1000, "dist": np.zeros(8), "rms": 0.29},
+        },
+        stereo={
+            "baseline": 502.3,
+            "rms": 0.41,
+            "R": np.eye(3),
+            "T": np.array([-502.0, 10.0, 5.0]),
+        },
+        validation=[ValidationResult.make("distance", 2157.0, 2295.0, 10.0)],
+    )
+    assert p.stat().st_size > 1000
