@@ -1,8 +1,13 @@
 """Headline benchmark: SGBM disparity throughput (Mpx/s/chip, D=128).
 
 Per /root/repo/BASELINE.json: StereoSGBM 8-path on a 1280x720 pair,
-D=128 with subpixel + uniqueness, target >= 500 Mpx/s/chip. Prints ONE
-JSON line: {"metric", "value", "unit", "vs_baseline"}.
+D=128 with subpixel + uniqueness + LR check, target >= 500 Mpx/s/chip.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing method: N chained runs inside one jit dispatch (each iteration's
+input depends on the previous output), materialized at the end — immune
+to async-dispatch undercounting and value-keyed result caching in the
+remote-TPU tunnel.
 """
 
 from __future__ import annotations
@@ -14,9 +19,7 @@ import numpy as np
 
 BASELINE_MPXS = 500.0
 H, W, D = 720, 1280, 128
-BATCH = 1
-WARMUP = 2
-ITERS = 5
+N = 5
 
 
 def main() -> None:
@@ -31,21 +34,25 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, (H, W + 2 * D)).astype(np.int32)
-    left = jnp.asarray(np.stack([base[:, D : D + W]] * BATCH))
-    right = jnp.asarray(np.stack([base[:, D - 20 : D - 20 + W]] * BATCH))
+    left = jnp.asarray(base[:, D : D + W])
+    right = jnp.asarray(base[:, D + 20 : D + 20 + W])
 
-    fn = jax.jit(jax.vmap(lambda l, r: stereo_sgbm(l, r, params)))
+    @jax.jit
+    def chained(l, r):
+        def body(carry, i):
+            li = l.at[0, 0].set(carry + i)
+            d = stereo_sgbm(li, r, params)
+            return d[H // 2, W // 2].astype(jnp.int32) & 1, ()
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn(left, right))
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(N))
+        return c
 
+    _ = np.asarray(chained(left, right))  # compile + first run
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(left, right)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    _ = np.asarray(chained(left, right))
+    dt = (time.perf_counter() - t0) / N
 
-    mpx = H * W * BATCH * ITERS / dt / 1e6
+    mpx = H * W / dt / 1e6
     print(
         json.dumps(
             {

