@@ -111,9 +111,11 @@ def _bt_channel_cost(p1row: jnp.ndarray, p2row: jnp.ndarray, ndisp: int, mindisp
         v, vv0, vv1 = sl(v_p), sl(v0_p), sl(v1_p)
         c0 = jnp.maximum(jnp.maximum(0, p1row - vv1), vv0 - p1row)
         c1 = jnp.maximum(jnp.maximum(0, v - u1), u0 - v)
-        return jnp.minimum(c0, c1)
+        # Per-pixel BT cost <= 2*255; int16 halves the volume traffic
+        # (the windowed sum stays < 12k, still int16-safe).
+        return jnp.minimum(c0, c1).astype(jnp.int16)
 
-    return jax.vmap(per_d, out_axes=-1)(jnp.arange(ndisp))  # (H, W, D)
+    return jax.vmap(per_d, out_axes=-1)(jnp.arange(ndisp))  # (H, W, D) int16
 
 
 def _box_filter_same(x: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -211,6 +213,7 @@ def _aggregate_8(C, P1, P2, backend: str = "scan"):
         from stereo_vision_tpu.stereo.sgm_pallas import aggregate_8_pallas
 
         return aggregate_8_pallas(C, int(P1), int(P2))
+    C = C.astype(jnp.int32)  # scan path accumulates in int32
     Sv = _aggregate_down(jnp.stack([C, jnp.flip(C, 0)]), P1, P2)
     S = Sv[0] + jnp.flip(Sv[1], 0)
     Sh = _aggregate_horiz(jnp.stack([C, jnp.flip(C, 1)]), P1, P2)
@@ -226,7 +229,9 @@ def compute_cost_volume(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGB
     rs = _xsobel_clipped(right, ftzero)
     c_sobel = _bt_channel_cost(ls, rs, ndisp, mindisp)
     c_raw = _bt_channel_cost(left.astype(jnp.int32), right.astype(jnp.int32), ndisp, mindisp)
-    pix = c_sobel + (c_raw >> 2)
+    pix = c_sobel + (c_raw >> 2)  # int16; <= ~190+63 per pixel
+    if params.block_size > 11:  # bs^2 * 253 would overflow int16
+        pix = pix.astype(jnp.int32)
     return _box_filter_same(pix, params.block_size)
 
 
