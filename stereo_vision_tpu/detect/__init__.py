@@ -29,8 +29,10 @@ from stereo_vision_tpu.detect.ball import (
     ORANGE_HSV_RANGE,
     BLUE_HSV_RANGE,
 )
+from stereo_vision_tpu.detect.cache import DetectionCache, image_hash
 from stereo_vision_tpu.detect.checkerboard import (
     harris_response,
+    checkerboard_response,
     refine_corners_subpix,
     find_chessboard_corners,
 )
@@ -58,6 +60,9 @@ __all__ = [
     "ORANGE_HSV_RANGE",
     "BLUE_HSV_RANGE",
     "harris_response",
+    "checkerboard_response",
     "refine_corners_subpix",
     "find_chessboard_corners",
+    "DetectionCache",
+    "image_hash",
 ]

@@ -15,6 +15,10 @@ from stereo_vision_tpu.models.yolov8 import (
     Detections,
     detection_loss,
 )
+from stereo_vision_tpu.models.convert import (
+    convert_ultralytics_state_dict,
+    load_ultralytics_checkpoint,
+)
 from stereo_vision_tpu.models.pose import (
     PoseNet,
     NUM_LANDMARKS,
@@ -41,4 +45,6 @@ __all__ = [
     "NUM_LANDMARKS",
     "pose_loss",
     "landmarks_to_pixels",
+    "convert_ultralytics_state_dict",
+    "load_ultralytics_checkpoint",
 ]

@@ -259,26 +259,44 @@ def stereo_sgbm(
     C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
     Wv = C.shape[1]
 
-    S = _aggregate_8(C, P1, P2, backend=params.backend)  # (H, Wv, D)
+    backend = params.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+    S = _aggregate_8(C, P1, P2, backend=backend)  # (H, Wv, D)
 
-    best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
-    minS = jnp.min(S, axis=-1)
+    if backend == "pallas":
+        # One volume pass producing the per-pixel stat maps (sgm_pallas).
+        from stereo_vision_tpu.stereo.sgm_pallas import wta_stats_pallas
 
-    # Uniqueness: minS*(100+U) > S[d]*100 for some |d - best| > 1 -> invalid.
-    ds = jnp.arange(ndisp).reshape(1, 1, ndisp)
-    if params.uniqueness_ratio > 0:
-        offender = (minS[..., None] * (100 + params.uniqueness_ratio) > S * 100) & (
-            jnp.abs(ds - best[..., None]) > 1
+        minS_f, best_f, sm_f, s0_f, sp_f, uok_f = wta_stats_pallas(
+            S, params.uniqueness_ratio
         )
-        unique_ok = ~jnp.any(offender, axis=-1)
+        minS = minS_f.astype(jnp.int32)
+        best = best_f.astype(jnp.int32)
+        sm = sm_f.astype(jnp.int32)
+        s0 = s0_f.astype(jnp.int32)
+        sp = sp_f.astype(jnp.int32)
+        unique_ok = uok_f > 0.5
     else:
-        unique_ok = jnp.ones_like(best, dtype=bool)
+        best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
+        minS = jnp.min(S, axis=-1)
+
+        # Uniqueness: minS*(100+U) > S[d]*100 for |d - best| > 1 -> invalid.
+        ds = jnp.arange(ndisp).reshape(1, 1, ndisp)
+        if params.uniqueness_ratio > 0:
+            offender = (
+                minS[..., None] * (100 + params.uniqueness_ratio) > S * 100
+            ) & (jnp.abs(ds - best[..., None]) > 1)
+            unique_ok = ~jnp.any(offender, axis=-1)
+        else:
+            unique_ok = jnp.ones_like(best, dtype=bool)
+
+        d0 = jnp.clip(best, 1, ndisp - 2)
+        take = lambda i: jnp.take_along_axis(S, i[..., None], axis=-1)[..., 0]
+        s0, sm, sp = take(d0), take(d0 - 1), take(d0 + 1)
 
     # Subpixel (cv2 integer semantics, DISP_SCALE = 16):
     #   d*16 + ((S[d-1]-S[d+1])*16 + denom2) / (denom2*2), C integer division.
-    d0 = jnp.clip(best, 1, ndisp - 2)
-    take = lambda i: jnp.take_along_axis(S, i[..., None], axis=-1)[..., 0]
-    s0, sm, sp = take(d0), take(d0 - 1), take(d0 + 1)
     denom2 = jnp.maximum(sm + sp - 2 * s0, 1)
     num = (sm - sp) * 16 + denom2
     sub16 = jnp.where(
@@ -292,16 +310,31 @@ def stereo_sgbm(
 
     # LR consistency: project minS onto right-image coordinates.
     if params.disp12_max_diff >= 0:
-        # Pack (cost, disparity) into int32: S is bounded by
-        # 8 * (maxBTcost*bs^2 + P2) < 2^16, disparity field gets 11 bits.
+        # disp2[x2] = argmin-cost disparity among left pixels x = x2 + d
+        # whose WTA winner is exactly d (cv2's packed projection). The
+        # reference formulation is a scatter-min; scatters serialize on
+        # TPU, so build it as D static shifts + a min-reduce instead.
         assert ndisp + abs(mindisp) < (1 << 11), "disparity exceeds pack field"
+        assert mindisp >= 0, "gather LR-check assumes min_disparity >= 0"
         xs = jnp.arange(Wv) + minX1  # full-frame x of each valid column
-        x2 = xs[None, :] - (best + mindisp)  # right-image column
-        pack = minS.astype(jnp.int32) * (1 << 11) + (best + mindisp)
+        pack = (minS.astype(jnp.int32) * (1 << 11) + (best + mindisp)).astype(jnp.int32)
         sentinel = jnp.int32(1 << 30)
-        row_init = jnp.full((H, W), sentinel, jnp.int32)
-        x2c = jnp.clip(x2, 0, W - 1)
-        packed = row_init.at[jnp.arange(H)[:, None], x2c].min(pack)
+        # Left-pixel arrays in full-frame x; pad so x2 + d slices statically.
+        pack_full = jnp.full((H, W + maxD), sentinel, jnp.int32)
+        pack_full = jax.lax.dynamic_update_slice(pack_full, pack, (0, minX1))
+        best_full = jnp.full((H, W + maxD), -1, jnp.int32)
+        best_full = jax.lax.dynamic_update_slice(
+            best_full, best.astype(jnp.int32), (0, minX1)
+        )
+
+        def per_d(d):
+            # candidates from left pixel x2 + (d + mindisp)
+            off = d + mindisp
+            pk = jax.lax.dynamic_slice(pack_full, (0, off), (H, W))
+            bs_ = jax.lax.dynamic_slice(best_full, (0, off), (H, W))
+            return jnp.where(bs_ == d.astype(jnp.int32), pk, sentinel)
+
+        packed = jnp.min(jax.vmap(per_d)(jnp.arange(ndisp)), axis=0)  # (H, W)
         disp2 = (packed & ((1 << 11) - 1)).astype(jnp.int32)
         disp2 = jnp.where(packed >= sentinel, -(1 << 10), disp2)
 

@@ -207,3 +207,60 @@ def aggregate_8_pallas(
         + s_rl.astype(jnp.int32)
     )
     return S[:, :W0, :]
+
+
+def _wta_kernel(uniq_ratio, c_ref, mins_ref, best_ref, sm_ref, s0_ref, sp_ref, uok_ref):
+    """Reduce an (R, W, D) block of the aggregated volume to per-pixel
+    stats in one pass: min cost, argmin (ties -> smallest d, like
+    jnp.argmin), the S[d0-1], S[d0], S[d0+1] subpixel samples
+    (d0 = clip(best, 1, D-2)) and the uniqueness verdict — so the
+    postprocessing math runs on (H, W) maps instead of re-reading the
+    volume several times."""
+    S = c_ref[...]  # (R, W, D) float32
+    R, W, D = S.shape
+    minS = jnp.min(S, axis=-1, keepdims=True)
+    ds = jax.lax.broadcasted_iota(jnp.float32, (R, W, D), 2)
+    best = jnp.min(jnp.where(S == minS, ds, jnp.float32(D)), axis=-1, keepdims=True)
+
+    if uniq_ratio > 0:
+        offend = (minS * (100.0 + uniq_ratio) > S * 100.0) & (jnp.abs(ds - best) > 1.0)
+        uok = 1.0 - jnp.max(offend.astype(jnp.float32), axis=-1, keepdims=True)
+    else:
+        uok = jnp.ones_like(minS)
+
+    d0 = jnp.clip(best, 1.0, D - 2.0)
+    sel = lambda tgt: jnp.sum(jnp.where(ds == tgt, S, 0.0), axis=-1, keepdims=True)
+    mins_ref[...] = minS[..., 0]
+    best_ref[...] = best[..., 0]
+    sm_ref[...] = sel(d0 - 1.0)[..., 0]
+    s0_ref[...] = sel(d0)[..., 0]
+    sp_ref[...] = sel(d0 + 1.0)[..., 0]
+    uok_ref[...] = uok[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("uniq_ratio", "rows", "interpret"))
+def wta_stats_pallas(
+    S: jnp.ndarray, uniq_ratio: int, rows: int = 8, interpret: bool = False
+):
+    """(H, W, D) aggregated costs -> six (H, W) stat maps (see _wta_kernel).
+
+    Values in S are < ~45k, exact in float32; outputs are float32 carrying
+    exact integers (cast back by the caller).
+    """
+    H, W, D = S.shape
+    Hp = ((H + rows - 1) // rows) * rows
+    Sf = S.astype(jnp.float32)
+    if Hp != H:
+        Sf = jnp.pad(Sf, ((0, Hp - H), (0, 0), (0, 0)))
+    grid = (Hp // rows,)
+    spec3 = pl.BlockSpec((rows, W, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((rows, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_wta_kernel, float(uniq_ratio)),
+        grid=grid,
+        in_specs=[spec3],
+        out_specs=[spec2] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W), jnp.float32)] * 6,
+        interpret=interpret,
+    )(Sf)
+    return tuple(o[:H] for o in outs)

@@ -18,6 +18,7 @@ from stereo_vision_tpu.sync.flash import (
     FlashSyncResult,
     synchronize_streams,
 )
+from stereo_vision_tpu.sync.mapper import StereoFrameMapper
 from stereo_vision_tpu.sync.matching import (
     frame_similarity,
     similarity_matrix,
@@ -36,4 +37,5 @@ __all__ = [
     "similarity_matrix",
     "find_best_offset_by_content",
     "match_frames_by_timestamp",
+    "StereoFrameMapper",
 ]

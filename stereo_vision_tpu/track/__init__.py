@@ -52,6 +52,17 @@ from stereo_vision_tpu.track.fusion import (
     ema_filter,
     extract_key_joints,
 )
+from stereo_vision_tpu.track.ball import (
+    BallTrajectory,
+    analyze_ball_drop,
+    triangulate_detections,
+    drop_report,
+)
+from stereo_vision_tpu.track.dual_camera import (
+    DualCameraResult,
+    analyze_dual_camera,
+    occlusion_matrix,
+)
 from stereo_vision_tpu.track.validators import (
     ValidationResult,
     validate_baseline,
@@ -104,4 +115,11 @@ __all__ = [
     "validate_length",
     "validate_sphere_diameter",
     "validate_gravity",
+    "BallTrajectory",
+    "analyze_ball_drop",
+    "triangulate_detections",
+    "drop_report",
+    "DualCameraResult",
+    "analyze_dual_camera",
+    "occlusion_matrix",
 ]

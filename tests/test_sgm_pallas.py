@@ -27,3 +27,36 @@ def test_pallas_extreme_costs(rng):
     ref = np.asarray(_aggregate_8(jnp.asarray(C), 200, 800, backend="scan"))
     out = np.asarray(aggregate_8_pallas(jnp.asarray(C), 200, 800, interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_full_sgbm_pallas_backend_matches_scan(rng):
+    """End-to-end pallas backend (interpret on CPU) vs scan backend."""
+    import cv2
+    from stereo_vision_tpu.stereo import StereoSGBMParams, stereo_sgbm
+
+    base = rng.integers(0, 255, (40, 90)).astype(np.int32)
+    left = jnp.asarray(base[:, 24:88])
+    right = jnp.asarray(base[:, 18:82])
+    for p in (
+        StereoSGBMParams(num_disparities=16, block_size=3, backend="scan"),
+        StereoSGBMParams(num_disparities=16, block_size=3, uniqueness_ratio=10,
+                         disp12_max_diff=1, backend="scan"),
+    ):
+        ref = np.asarray(stereo_sgbm(left, right, p))
+        # interpret-mode pallas path via monkeypatched default: call the
+        # internals directly with backend="pallas" on CPU interpreter
+        import stereo_vision_tpu.stereo.sgm_pallas as sp
+        import functools as ft
+
+        orig_agg = sp.aggregate_8_pallas
+        orig_wta = sp.wta_stats_pallas
+        sp.aggregate_8_pallas = ft.partial(orig_agg.__wrapped__, interpret=True)
+        sp.wta_stats_pallas = ft.partial(orig_wta.__wrapped__, interpret=True)
+        try:
+            mine = np.asarray(
+                stereo_sgbm(left, right, p._replace(backend="pallas"))
+            )
+        finally:
+            sp.aggregate_8_pallas = orig_agg
+            sp.wta_stats_pallas = orig_wta
+        np.testing.assert_array_equal(mine, ref)
