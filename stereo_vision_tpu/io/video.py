@@ -126,3 +126,72 @@ def extract_timestamps_ffprobe(video_path: str | Path) -> np.ndarray:
         return np.array([float(f["pts_time"]) for f in frames if "pts_time" in f])
     except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
         return np.empty(0)
+
+
+def write_video(
+    path: str | Path,
+    frames: np.ndarray,
+    fps: float = 30.0,
+    is_rgb: bool = True,
+) -> Path:
+    """Write (T, H, W[, 3]) frames to an mp4 (cv2 VideoWriter host shim)."""
+    import cv2
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    frames = np.asarray(frames)
+    h, w = frames.shape[1], frames.shape[2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    try:
+        for f in frames:
+            if f.ndim == 2:
+                f = np.stack([f] * 3, axis=-1)
+            elif is_rgb:
+                f = f[..., ::-1]  # RGB -> BGR for cv2
+            vw.write(np.ascontiguousarray(f, np.uint8))
+    finally:
+        vw.release()
+    return path
+
+
+def create_synchronized_videos(
+    left_video: str | Path,
+    right_video: str | Path,
+    left_start: int,
+    right_start: int,
+    out_dir: str | Path,
+    duration_frames: int | None = None,
+    fps: float | None = None,
+) -> tuple[Path, Path]:
+    """Write an aligned stereo pair starting at the given frame indices
+    (the reference writes flash+3s onward — flash_sync.py:238-319; callers
+    pass flash_frame + 3*fps here)."""
+    import cv2
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    outs = []
+    for src, start, name in (
+        (left_video, left_start, "left_synced.mp4"),
+        (right_video, right_start, "right_synced.mp4"),
+    ):
+        cap = cv2.VideoCapture(str(src))
+        src_fps = fps or cap.get(cv2.CAP_PROP_FPS) or 30.0
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        n = duration_frames if duration_frames is not None else total - start
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        dst = out_dir / name
+        vw = cv2.VideoWriter(str(dst), cv2.VideoWriter_fourcc(*"mp4v"), src_fps, (w, h))
+        try:
+            for _ in range(max(n, 0)):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                vw.write(frame)
+        finally:
+            vw.release()
+            cap.release()
+        outs.append(dst)
+    return outs[0], outs[1]

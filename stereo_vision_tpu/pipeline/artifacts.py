@@ -143,3 +143,65 @@ class ArtifactStore:
             return None
         with open(p, "rb") as f:
             return pickle.load(f)
+
+
+# -- cv2 FileStorage / CSV interop (calibrate_v3 schema) ---------------------
+
+def save_calibration_xml(path, K1, d1, K2, d2, R, T, E=None, F=None) -> None:
+    """OpenCV FileStorage XML/YAML bundle (calibration_utils.py:15-255
+    schema: the v3 generation persisted XML alongside txt/csv)."""
+    import cv2
+
+    fs = cv2.FileStorage(str(path), cv2.FILE_STORAGE_WRITE)
+    try:
+        fs.write("camera_matrix_1", np.asarray(K1, np.float64))
+        fs.write("dist_coeffs_1", np.asarray(d1, np.float64).reshape(1, -1))
+        fs.write("camera_matrix_2", np.asarray(K2, np.float64))
+        fs.write("dist_coeffs_2", np.asarray(d2, np.float64).reshape(1, -1))
+        fs.write("R", np.asarray(R, np.float64))
+        fs.write("T", np.asarray(T, np.float64).reshape(3, 1))
+        if E is not None:
+            fs.write("E", np.asarray(E, np.float64))
+        if F is not None:
+            fs.write("F", np.asarray(F, np.float64))
+    finally:
+        fs.release()
+
+
+def load_calibration_xml(path):
+    """Read a FileStorage bundle back: (K1, d1, K2, d2, R, T)."""
+    import cv2
+
+    fs = cv2.FileStorage(str(path), cv2.FILE_STORAGE_READ)
+    try:
+        out = tuple(
+            fs.getNode(k).mat()
+            for k in (
+                "camera_matrix_1",
+                "dist_coeffs_1",
+                "camera_matrix_2",
+                "dist_coeffs_2",
+                "R",
+                "T",
+            )
+        )
+    finally:
+        fs.release()
+    return out
+
+
+def save_calibration_csv(path, K, dist) -> None:
+    """Flat CSV export (calibrate_v3 csv schema: name,value rows)."""
+    import csv
+
+    K = np.asarray(K)
+    dist = np.asarray(dist).ravel()
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["parameter", "value"])
+        w.writerow(["fx", K[0, 0]])
+        w.writerow(["fy", K[1, 1]])
+        w.writerow(["cx", K[0, 2]])
+        w.writerow(["cy", K[1, 2]])
+        for i, v in enumerate(dist):
+            w.writerow([f"dist_{i}", v])

@@ -219,7 +219,8 @@ def _wta_kernel(uniq_ratio, c_ref, mins_ref, best_ref, sm_ref, s0_ref, sp_ref, u
     S = c_ref[...]  # (R, W, D) float32
     R, W, D = S.shape
     minS = jnp.min(S, axis=-1, keepdims=True)
-    ds = jax.lax.broadcasted_iota(jnp.float32, (R, W, D), 2)
+    # Mosaic iota must be integer-typed; widen to f32 for the comparisons.
+    ds = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2).astype(jnp.float32)
     best = jnp.min(jnp.where(S == minS, ds, jnp.float32(D)), axis=-1, keepdims=True)
 
     if uniq_ratio > 0:
@@ -238,29 +239,37 @@ def _wta_kernel(uniq_ratio, c_ref, mins_ref, best_ref, sm_ref, s0_ref, sp_ref, u
     uok_ref[...] = uok[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("uniq_ratio", "rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("uniq_ratio", "rows", "cols", "interpret"))
 def wta_stats_pallas(
-    S: jnp.ndarray, uniq_ratio: int, rows: int = 8, interpret: bool = False
+    S: jnp.ndarray,
+    uniq_ratio: int,
+    rows: int = 8,
+    cols: int = 128,
+    interpret: bool = False,
 ):
     """(H, W, D) aggregated costs -> six (H, W) stat maps (see _wta_kernel).
 
     Values in S are < ~45k, exact in float32; outputs are float32 carrying
-    exact integers (cast back by the caller).
+    exact integers (cast back by the caller). Blocks are (rows, cols, D) —
+    rows=8 satisfies the output sublane constraint, cols=128 keeps the
+    per-block intermediates inside the VMEM budget at D=128.
     """
     H, W, D = S.shape
     Hp = ((H + rows - 1) // rows) * rows
+    Wp = ((W + cols - 1) // cols) * cols
     Sf = S.astype(jnp.float32)
-    if Hp != H:
-        Sf = jnp.pad(Sf, ((0, Hp - H), (0, 0), (0, 0)))
-    grid = (Hp // rows,)
-    spec3 = pl.BlockSpec((rows, W, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    spec2 = pl.BlockSpec((rows, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    if (Hp, Wp) != (H, W):
+        # Padded cells see an all-zero cost row: harmless (sliced away).
+        Sf = jnp.pad(Sf, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    grid = (Hp // rows, Wp // cols)
+    spec3 = pl.BlockSpec((rows, cols, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((rows, cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_wta_kernel, float(uniq_ratio)),
         grid=grid,
         in_specs=[spec3],
         out_specs=[spec2] * 6,
-        out_shape=[jax.ShapeDtypeStruct((Hp, W), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * 6,
         interpret=interpret,
     )(Sf)
-    return tuple(o[:H] for o in outs)
+    return tuple(o[:H, :W] for o in outs)

@@ -63,3 +63,69 @@ def test_numpy_tree_checkpoint(tmp_path):
     save_numpy_tree(tmp_path / "ckpt.npz", tree)
     loaded = np.load(tmp_path / "ckpt.npz")
     assert len(loaded.files) == 2
+
+
+class TestPairFiltering:
+    def test_drops_corrupted_pair(self):
+        import cv2
+        import sys
+        sys.path.insert(0, "tests")
+        from test_calibration import render_board_views, K_TRUE, DIST_TRUE, SIZE
+        from stereo_vision_tpu.calib.pairs import filter_pairs_by_rms
+
+        R_true, _ = cv2.Rodrigues(np.array([0.02, -0.3, 0.01]))
+        T_true = np.array([-3400.0, 25.0, 80.0])
+        obj, c1, _, c2 = render_board_views(n_frames=8, seed=21, stereo_RT=(R_true, T_true))
+        c2 = c2.copy()
+        c2[3] += 12.0  # corrupt one pair's right corners
+        idx, f1, f2 = filter_pairs_by_rms(
+            obj, c1, c2, K_TRUE, DIST_TRUE, K_TRUE, DIST_TRUE, SIZE, max_rms=2.0
+        )
+        assert 3 not in idx
+        assert len(idx) >= 5
+
+
+class TestSingleCamera:
+    def test_angles_and_stats(self, rng):
+        from stereo_vision_tpu.track.single_camera import analyze_single_camera
+        T = 8
+        lm = np.zeros((T, 33, 4))
+        lm[:, :, :3] = rng.uniform(0, 1, (T, 33, 3))
+        lm[:, :, 3] = 0.9
+        res = analyze_single_camera(lm)
+        assert res.angles.shape == (T, 8)
+        assert np.isfinite(res.angles).all()
+        assert all(s["visible_fraction"] == 1.0 for s in res.stats.values())
+
+
+class TestFilenames:
+    def test_distance_extraction(self):
+        from stereo_vision_tpu.utils.filenames import extract_distance_from_filename
+        assert extract_distance_from_filename("ball_2000mm.png") == 2000.0
+        assert extract_distance_from_filename("dist_250cm_left.MOV") == 2500.0
+        assert extract_distance_from_filename("validate_3.5m.mp4") == 3500.0
+        assert extract_distance_from_filename("clip_2.5.mp4") == 2500.0
+        assert extract_distance_from_filename("no_distance_here.mp4") is None
+
+
+class TestVideoIO:
+    def test_write_read_roundtrip(self, tmp_path, rng):
+        from stereo_vision_tpu.io.video import write_video, extract_frames, video_info
+
+        frames = rng.integers(0, 255, (10, 32, 48, 3)).astype(np.uint8)
+        p = write_video(tmp_path / "clip.mp4", frames, fps=30.0)
+        info = video_info(p)
+        assert info["frame_count"] == 10
+        assert (info["width"], info["height"]) == (48, 32)
+        back, idx = extract_frames(p, interval=1, max_frames=10)
+        assert back.shape[0] == 10
+
+    def test_synchronized_writer(self, tmp_path, rng):
+        from stereo_vision_tpu.io.video import write_video, create_synchronized_videos, video_info
+
+        frames = rng.integers(0, 255, (20, 16, 24, 3)).astype(np.uint8)
+        l = write_video(tmp_path / "l.mp4", frames)
+        r = write_video(tmp_path / "r.mp4", frames)
+        lp, rp = create_synchronized_videos(l, r, 5, 8, tmp_path / "out", duration_frames=10)
+        assert video_info(lp)["frame_count"] == 10
+        assert video_info(rp)["frame_count"] == 10
