@@ -264,14 +264,14 @@ def stereo_sgbm(
     backend = params.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
-    S = _aggregate_8(C, P1, P2, backend=backend)  # (H, Wv, D)
 
     if backend == "pallas":
-        # One volume pass producing the per-pixel stat maps (sgm_pallas).
-        from stereo_vision_tpu.stereo.sgm_pallas import wta_stats_pallas
+        # Fused aggregation + WTA: the four direction partial volumes feed
+        # the stats kernel directly — S never materializes (sgm_pallas).
+        from stereo_vision_tpu.stereo.sgm_pallas import sgm_reduce_pallas
 
-        minS_f, best_f, sm_f, s0_f, sp_f, uok_f = wta_stats_pallas(
-            S, params.uniqueness_ratio
+        minS_f, best_f, sm_f, s0_f, sp_f, uok_f = sgm_reduce_pallas(
+            C, P1, P2, params.uniqueness_ratio
         )
         minS = minS_f.astype(jnp.int32)
         best = best_f.astype(jnp.int32)
@@ -280,6 +280,7 @@ def stereo_sgbm(
         sp = sp_f.astype(jnp.int32)
         unique_ok = uok_f > 0.5
     else:
+        S = _aggregate_8(C, P1, P2, backend=backend)  # (H, Wv, D)
         best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
         minS = jnp.min(S, axis=-1)
 

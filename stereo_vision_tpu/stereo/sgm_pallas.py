@@ -273,3 +273,96 @@ def wta_stats_pallas(
         interpret=interpret,
     )(Sf)
     return tuple(o[:H, :W] for o in outs)
+
+
+def _wta4_kernel(uniq_ratio, a_ref, b_ref, c_ref, d_ref,
+                 mins_ref, best_ref, sm_ref, s0_ref, sp_ref, uok_ref):
+    """WTA stats over the IN-KERNEL sum of the four direction volumes —
+    the aggregated volume S is never materialized in HBM."""
+    S = a_ref[...] + b_ref[...] + c_ref[...] + d_ref[...]
+    R, W, D = S.shape
+    minS = jnp.min(S, axis=-1, keepdims=True)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2).astype(jnp.float32)
+    best = jnp.min(jnp.where(S == minS, ds, jnp.float32(D)), axis=-1, keepdims=True)
+    if uniq_ratio > 0:
+        offend = (minS * (100.0 + uniq_ratio) > S * 100.0) & (jnp.abs(ds - best) > 1.0)
+        uok = 1.0 - jnp.max(offend.astype(jnp.float32), axis=-1, keepdims=True)
+    else:
+        uok = jnp.ones_like(minS)
+    d0 = jnp.clip(best, 1.0, D - 2.0)
+    sel = lambda tgt: jnp.sum(jnp.where(ds == tgt, S, 0.0), axis=-1, keepdims=True)
+    mins_ref[...] = minS[..., 0]
+    best_ref[...] = best[..., 0]
+    sm_ref[...] = sel(d0 - 1.0)[..., 0]
+    s0_ref[...] = sel(d0)[..., 0]
+    sp_ref[...] = sel(d0 + 1.0)[..., 0]
+    uok_ref[...] = uok[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("P1", "P2", "uniq_ratio", "interpret"))
+def sgm_reduce_pallas(
+    C: jnp.ndarray, P1: int, P2: int, uniq_ratio: int, interpret: bool = False
+):
+    """Aggregation + WTA in one flow: the four direction partial volumes
+    feed the fused WTA kernel directly (S never hits HBM as int32)."""
+    H, W0, D = C.shape
+    W = ((W0 + _BW - 1) // _BW) * _BW
+    cf = C.astype(jnp.float32)
+    if W != W0:
+        cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
+
+    vert = pl.pallas_call(
+        functools.partial(_vertical_kernel, int(P1), int(P2)),
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W, D), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
+        interpret=interpret,
+    )
+    s_dn, s_up = vert(cf, cf)
+
+    nB = W // _BW
+
+    def horiz_call(reverse: bool):
+        if reverse:
+            index_map = lambda b: (0, nB - 1 - b, 0)
+        else:
+            index_map = lambda b: (0, b, 0)
+        return pl.pallas_call(
+            functools.partial(_horizontal_kernel, int(P1), int(P2), reverse),
+            grid=(nB,),
+            in_specs=[pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((H, D), jnp.float32)],
+            interpret=interpret,
+        )(cf)
+
+    s_lr = horiz_call(False)
+    s_rl = horiz_call(True)
+
+    rows, cols = 8, 128
+    Hp = ((H + rows - 1) // rows) * rows
+    Wp = ((W + cols - 1) // cols) * cols
+    if (Hp, Wp) != (H, W):
+        padhw = lambda a: jnp.pad(a, ((0, Hp - H), (0, Wp - W), (0, 0)))
+        s_dn, s_up, s_lr, s_rl = map(padhw, (s_dn, s_up, s_lr, s_rl))
+    grid = (Hp // rows, Wp // cols)
+    spec3 = pl.BlockSpec((rows, cols, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((rows, cols), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_wta4_kernel, float(uniq_ratio)),
+        grid=grid,
+        in_specs=[spec3] * 4,
+        out_specs=[spec2] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * 6,
+        interpret=interpret,
+    )(s_dn, s_up, s_lr, s_rl)
+    return tuple(o[:H, :W0] for o in outs)

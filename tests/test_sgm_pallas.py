@@ -48,15 +48,13 @@ def test_full_sgbm_pallas_backend_matches_scan(rng):
         import stereo_vision_tpu.stereo.sgm_pallas as sp
         import functools as ft
 
-        orig_agg = sp.aggregate_8_pallas
-        orig_wta = sp.wta_stats_pallas
-        sp.aggregate_8_pallas = ft.partial(orig_agg.__wrapped__, interpret=True)
-        sp.wta_stats_pallas = ft.partial(orig_wta.__wrapped__, interpret=True)
+        orig_red = sp.sgm_reduce_pallas
+        sp.sgm_reduce_pallas = ft.partial(orig_red.__wrapped__, interpret=True)
         try:
+            import stereo_vision_tpu.stereo.sgbm as sg
             mine = np.asarray(
                 stereo_sgbm(left, right, p._replace(backend="pallas"))
             )
         finally:
-            sp.aggregate_8_pallas = orig_agg
-            sp.wta_stats_pallas = orig_wta
+            sp.sgm_reduce_pallas = orig_red
         np.testing.assert_array_equal(mine, ref)
