@@ -153,8 +153,15 @@ def config4() -> dict:
     model = YOLOv8(num_classes=4, variant="n")
     x = jnp.zeros((2, 256, 256, 3), jnp.float32)  # left+right in one batch
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    Q = jnp.asarray(np.diag([1.0, 1.0, 0.0, -1 / 100.0]).astype(np.float32))
-    Q = Q.at[2, 3].set(1000.0)
+    # Bouguet Q for f=1000px, baseline 100mm, centered principal point:
+    # Z = f*B/d = 1000*100/32 = 3125 mm at d=32.
+    Qn = np.zeros((4, 4), np.float32)
+    Qn[0, 0] = Qn[1, 1] = 1.0
+    Qn[0, 3] = -128.0
+    Qn[1, 3] = -128.0
+    Qn[2, 3] = 1000.0
+    Qn[3, 2] = 1.0 / 100.0
+    Q = jnp.asarray(Qn)
     disp = jnp.full((256, 256), 32.0, jnp.float32)
 
     @jax.jit
@@ -164,7 +171,13 @@ def config4() -> dict:
         z = depth_from_disparity(d, Q)
         return boxes, probs, z
 
-    (_, _, z), dt = (lambda o, t: (o, t))(*_time_once(fused, variables, x, disp))
+    out = fused(variables, x, disp)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fused(variables, x, disp)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    z = out[2]
     return {
         "config": "4_detector_depth_fusion",
         "forward_ms": round(dt * 1000, 2),
