@@ -257,13 +257,28 @@ def stereo_sgbm(
     minX1 = max(maxD, 0)
     P1, P2 = params.P1, params.P2
 
-    C_full = compute_cost_volume(left, right, params)  # (H, W, D)
-    C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
-    Wv = C.shape[1]
-
     backend = params.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+
+    if backend == "pallas" and mindisp == 0:
+        # Fused Pallas cost kernel (exact vs compute_cost_volume; the XLA
+        # diagonal-read formulation costs ~28 ms/frame at 720p/D=128).
+        from stereo_vision_tpu.stereo.cost_pallas import cost_volume_pallas
+
+        ftz = params.ftzero
+        C_full = cost_volume_pallas(
+            _xsobel_clipped(left, ftz),
+            _xsobel_clipped(right, ftz),
+            left.astype(jnp.int32),
+            right.astype(jnp.int32),
+            ndisp=ndisp,
+            block_size=params.block_size,
+        )
+    else:
+        C_full = compute_cost_volume(left, right, params)  # (H, W, D)
+    C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
+    Wv = C.shape[1]
 
     if backend == "pallas":
         # Fused aggregation + WTA: the four direction partial volumes feed

@@ -48,8 +48,12 @@ def test_full_sgbm_pallas_backend_matches_scan(rng):
         import stereo_vision_tpu.stereo.sgm_pallas as sp
         import functools as ft
 
+        import stereo_vision_tpu.stereo.cost_pallas as cp
+
         orig_red = sp.sgm_reduce_pallas
+        orig_cost = cp.cost_volume_pallas
         sp.sgm_reduce_pallas = ft.partial(orig_red.__wrapped__, interpret=True)
+        cp.cost_volume_pallas = ft.partial(orig_cost.__wrapped__, interpret=True)
         try:
             import stereo_vision_tpu.stereo.sgbm as sg
             mine = np.asarray(
@@ -57,4 +61,25 @@ def test_full_sgbm_pallas_backend_matches_scan(rng):
             )
         finally:
             sp.sgm_reduce_pallas = orig_red
+            cp.cost_volume_pallas = orig_cost
         np.testing.assert_array_equal(mine, ref)
+
+
+def test_cost_volume_pallas_exact(rng):
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, compute_cost_volume, _xsobel_clipped
+    from stereo_vision_tpu.stereo.cost_pallas import cost_volume_pallas
+
+    for (H, W, D, bs) in ((21, 40, 16, 5), (16, 48, 32, 3), (9, 24, 8, 5)):
+        base = rng.integers(0, 255, (H, W + 2 * D)).astype(np.int32)
+        left = jnp.asarray(base[:, D:D + W])
+        right = jnp.asarray(base[:, D - 5:D - 5 + W])
+        p = StereoSGBMParams(num_disparities=D, block_size=bs)
+        ref = np.asarray(compute_cost_volume(left, right, p))
+        ls = _xsobel_clipped(left, p.ftzero)
+        rs = _xsobel_clipped(right, p.ftzero)
+        mine = np.asarray(
+            cost_volume_pallas(ls, rs, left, right, ndisp=D, block_size=bs, interpret=True)
+        )
+        np.testing.assert_array_equal(
+            mine.astype(np.int32), ref.astype(np.int32), err_msg=f"{H}x{W} D{D} bs{bs}"
+        )
