@@ -47,6 +47,8 @@ class StereoSGBMParams(NamedTuple):
     speckle_window_size: int = 0   # 0 disables
     speckle_range: int = 0
     backend: str = "auto"          # "auto" | "scan" | "pallas"
+    num_paths: int = 8             # 8 = cv2 MODE_HH parity; 4 = fast mode
+                                   # (vertical+horizontal only, no cv2 parity)
 
     @property
     def P1(self) -> int:
@@ -161,8 +163,9 @@ def _shift_cols(a, direction):
     return jnp.concatenate([a[..., 1:, :], z], axis=-2)
 
 
-def _aggregate_down(C2, P1, P2):
-    """Sum of the three downward direction volumes: (0,1), (1,1), (-1,1).
+def _aggregate_down(C2, P1, P2, with_diagonals: bool = True):
+    """Sum of the downward direction volumes: (0,1) plus, when
+    ``with_diagonals``, (1,1) and (-1,1).
 
     C2: (2, H, W, D) int32 — the volume and its y-flip stacked, so the
     downward and upward direction sets run in ONE scan (each step does 2x
@@ -176,9 +179,13 @@ def _aggregate_down(C2, P1, P2):
     def step(carry, c_row):
         (Lv, mv), (Ld, md), (Lu, mu) = carry
         Lv2, mv2 = _sgm_update(c_row, Lv, mv, P1, P2)
-        Ld2, md2 = _sgm_update(c_row, _shift_cols(Ld, 1), _shift_cols(md, 1), P1, P2)
-        Lu2, mu2 = _sgm_update(c_row, _shift_cols(Lu, -1), _shift_cols(mu, -1), P1, P2)
-        out = Lv2 + Ld2 + Lu2
+        if with_diagonals:
+            Ld2, md2 = _sgm_update(c_row, _shift_cols(Ld, 1), _shift_cols(md, 1), P1, P2)
+            Lu2, mu2 = _sgm_update(c_row, _shift_cols(Lu, -1), _shift_cols(mu, -1), P1, P2)
+            out = Lv2 + Ld2 + Lu2
+        else:
+            Ld2, md2, Lu2, mu2 = Ld, md, Lu, mu
+            out = Lv2
         return (((Lv2, mv2), (Ld2, md2), (Lu2, mu2)), out)
 
     init = ((zero, zmin), (zero, zmin), (zero, zmin))
@@ -202,8 +209,9 @@ def _aggregate_horiz(C2, P1, P2):
     return jnp.moveaxis(S, 0, 2)
 
 
-def _aggregate_8(C, P1, P2, backend: str = "scan"):
-    """Full 8-direction aggregated cost volume (MODE_HH).
+def _aggregate_8(C, P1, P2, backend: str = "scan", num_paths: int = 8):
+    """Aggregated cost volume: 8 directions (MODE_HH parity) or 4
+    (fast mode — vertical + horizontal only).
 
     backend 'scan' runs the lax.scan reference; 'pallas' runs the VMEM-
     resident TPU kernels (stereo_vision_tpu.stereo.sgm_pallas), which are
@@ -214,9 +222,11 @@ def _aggregate_8(C, P1, P2, backend: str = "scan"):
     if backend == "pallas":
         from stereo_vision_tpu.stereo.sgm_pallas import aggregate_8_pallas
 
-        return aggregate_8_pallas(C, int(P1), int(P2))
+        return aggregate_8_pallas(C, int(P1), int(P2), num_paths=num_paths)
     C = C.astype(jnp.int32)  # scan path accumulates in int32
-    Sv = _aggregate_down(jnp.stack([C, jnp.flip(C, 0)]), P1, P2)
+    Sv = _aggregate_down(
+        jnp.stack([C, jnp.flip(C, 0)]), P1, P2, with_diagonals=num_paths >= 8
+    )
     S = Sv[0] + jnp.flip(Sv[1], 0)
     Sh = _aggregate_horiz(jnp.stack([C, jnp.flip(C, 1)]), P1, P2)
     return S + Sh[0] + jnp.flip(Sh[1], 1)
@@ -286,7 +296,7 @@ def stereo_sgbm(
         from stereo_vision_tpu.stereo.sgm_pallas import sgm_reduce_pallas
 
         minS_f, best_f, sm_f, s0_f, sp_f, uok_f = sgm_reduce_pallas(
-            C, P1, P2, params.uniqueness_ratio
+            C, P1, P2, params.uniqueness_ratio, num_paths=params.num_paths
         )
         minS = minS_f.astype(jnp.int32)
         best = best_f.astype(jnp.int32)
@@ -295,7 +305,7 @@ def stereo_sgbm(
         sp = sp_f.astype(jnp.int32)
         unique_ok = uok_f > 0.5
     else:
-        S = _aggregate_8(C, P1, P2, backend=backend)  # (H, Wv, D)
+        S = _aggregate_8(C, P1, P2, backend=backend, num_paths=params.num_paths)
         best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
         minS = jnp.min(S, axis=-1)
 

@@ -61,7 +61,7 @@ def _shift_w(a, direction):
     return jnp.concatenate([a[1:], z], axis=0)
 
 
-def _vertical_kernel(P1, P2, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, L_ref):
+def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, L_ref):
     """Grid step r: advance the 3 down-direction carries with row r and the
     3 up-direction carries with row H-1-r.
 
@@ -81,27 +81,31 @@ def _vertical_kernel(P1, P2, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, L_ref):
         # Zero carry + zero min => first-row L equals the cost row.
         for k, c in ((0, c_dn), (3, c_up)):
             L_ref[k] = c
-            L_ref[k + 1] = c
-            L_ref[k + 2] = c
-        s_dn_ref[0] = c_dn * 3
-        s_up_ref[0] = c_up * 3
+            if with_diag:
+                L_ref[k + 1] = c
+                L_ref[k + 2] = c
+        s_dn_ref[0] = c_dn * (3 if with_diag else 1)
+        s_up_ref[0] = c_up * (3 if with_diag else 1)
 
     @pl.when(r != 0)
     def _step():
         for k, c in ((0, c_dn), (3, c_up)):
             Lv = L_ref[k]
-            Ld = _shift_w(L_ref[k + 1], 1)
-            Lu = _shift_w(L_ref[k + 2], -1)
             Lv2 = _update(c, Lv, _min_d(Lv), P1, P2)
-            # Shifted-in zero columns carry (L=0, min=0) -> L' = c there.
-            md = _shift_w(_min_d(L_ref[k + 1]), 1)
-            mu = _shift_w(_min_d(L_ref[k + 2]), -1)
-            Ld2 = _update(c, Ld, md, P1, P2)
-            Lu2 = _update(c, Lu, mu, P1, P2)
             L_ref[k] = Lv2
-            L_ref[k + 1] = Ld2
-            L_ref[k + 2] = Lu2
-            out = Lv2 + Ld2 + Lu2
+            if with_diag:
+                Ld = _shift_w(L_ref[k + 1], 1)
+                Lu = _shift_w(L_ref[k + 2], -1)
+                # Shifted-in zero columns carry (L=0, min=0) -> L' = c there.
+                md = _shift_w(_min_d(L_ref[k + 1]), 1)
+                mu = _shift_w(_min_d(L_ref[k + 2]), -1)
+                Ld2 = _update(c, Ld, md, P1, P2)
+                Lu2 = _update(c, Lu, mu, P1, P2)
+                L_ref[k + 1] = Ld2
+                L_ref[k + 2] = Lu2
+                out = Lv2 + Ld2 + Lu2
+            else:
+                out = Lv2
             if k == 0:
                 s_dn_ref[0] = out
             else:
@@ -138,9 +142,9 @@ def _horizontal_kernel(P1, P2, reverse, c_ref, s_ref, L_ref):
             s_ref[:, col] = L2
 
 
-@functools.partial(jax.jit, static_argnames=("P1", "P2", "interpret"))
+@functools.partial(jax.jit, static_argnames=("P1", "P2", "num_paths", "interpret"))
 def aggregate_8_pallas(
-    C: jnp.ndarray, P1: int, P2: int, interpret: bool = False
+    C: jnp.ndarray, P1: int, P2: int, num_paths: int = 8, interpret: bool = False
 ) -> jnp.ndarray:
     """Full 8-direction aggregated cost volume via two Pallas kernels.
 
@@ -160,8 +164,9 @@ def aggregate_8_pallas(
     if W != W0:
         cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
 
+    with_diag = num_paths >= 8
     vert = pl.pallas_call(
-        functools.partial(_vertical_kernel, int(P1), int(P2)),
+        functools.partial(_vertical_kernel, int(P1), int(P2), with_diag),
         grid=(H,),
         in_specs=[
             pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
@@ -299,9 +304,10 @@ def _wta4_kernel(uniq_ratio, a_ref, b_ref, c_ref, d_ref,
     uok_ref[...] = uok[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("P1", "P2", "uniq_ratio", "interpret"))
+@functools.partial(jax.jit, static_argnames=("P1", "P2", "uniq_ratio", "num_paths", "interpret"))
 def sgm_reduce_pallas(
-    C: jnp.ndarray, P1: int, P2: int, uniq_ratio: int, interpret: bool = False
+    C: jnp.ndarray, P1: int, P2: int, uniq_ratio: int, num_paths: int = 8,
+    interpret: bool = False,
 ):
     """Aggregation + WTA in one flow: the four direction partial volumes
     feed the fused WTA kernel directly (S never hits HBM as int32)."""
@@ -311,8 +317,9 @@ def sgm_reduce_pallas(
     if W != W0:
         cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
 
+    with_diag = num_paths >= 8
     vert = pl.pallas_call(
-        functools.partial(_vertical_kernel, int(P1), int(P2)),
+        functools.partial(_vertical_kernel, int(P1), int(P2), with_diag),
         grid=(H,),
         in_specs=[
             pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),

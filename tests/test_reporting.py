@@ -63,3 +63,19 @@ def test_pdf_report(tmp_path):
         validation=[ValidationResult.make("distance", 2157.0, 2295.0, 10.0)],
     )
     assert p.stat().st_size > 1000
+
+
+def test_video_overlays(tmp_path, rng):
+    from stereo_vision_tpu.pipeline.video_viz import render_skeleton_video, render_ball_video
+    from stereo_vision_tpu.io.video import video_info
+
+    T, H, W = 6, 64, 96
+    frames = rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8)
+    joints = rng.uniform(5, 60, (T, 13, 2))
+    p = render_skeleton_video(frames, joints, tmp_path / "skel.mp4", fps=10, smoothed_px=joints)
+    assert video_info(p)["frame_count"] == T
+
+    centers = rng.uniform(10, 80, (T, 2))
+    centers[2] = np.nan  # missed detection
+    p2 = render_ball_video(frames, centers, np.full(T, 5.0), tmp_path / "ball.mp4", fps=10)
+    assert video_info(p2)["frame_count"] == T

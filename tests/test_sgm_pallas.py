@@ -83,3 +83,15 @@ def test_cost_volume_pallas_exact(rng):
         np.testing.assert_array_equal(
             mine.astype(np.int32), ref.astype(np.int32), err_msg=f"{H}x{W} D{D} bs{bs}"
         )
+
+
+def test_four_path_fast_mode_matches_scan(rng):
+    """4-path mode: pallas (interpret) == scan; differs from 8-path."""
+    from stereo_vision_tpu.stereo.sgbm import _aggregate_8
+
+    C = jnp.asarray(rng.integers(0, 4700, (20, 32, 16)), jnp.int32)
+    ref4 = np.asarray(_aggregate_8(C, 200, 800, backend="scan", num_paths=4))
+    out4 = np.asarray(aggregate_8_pallas(C, 200, 800, num_paths=4, interpret=True))
+    np.testing.assert_array_equal(out4, ref4)
+    ref8 = np.asarray(_aggregate_8(C, 200, 800, backend="scan", num_paths=8))
+    assert not np.array_equal(ref4, ref8)
