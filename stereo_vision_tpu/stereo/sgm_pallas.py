@@ -61,9 +61,14 @@ def _shift_w(a, direction):
     return jnp.concatenate([a[1:], z], axis=0)
 
 
+_VR = 1  # vertical rows per grid step (2 was measured perf-neutral: the
+         # scan is bound by the row-to-row dependency chain, not step count)
+
+
 def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, L_ref):
-    """Grid step r: advance the 3 down-direction carries with row r and the
-    3 up-direction carries with row H-1-r.
+    """Grid step r: advance the down-direction carries with rows
+    [_VR*r, _VR*r+_VR) and the up carries with the mirrored rows
+    (processed high-to-low inside the block).
 
     L_ref scratch layout: (6, W, D) float32 —
       [0] down-vertical  [1] down-diag+1  [2] down-diag-1
@@ -73,43 +78,46 @@ def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, 
     with the SAME column-shift directions, so the shifts here match).
     """
     r = pl.program_id(0)
-    c_dn = c_dn_ref[0]
-    c_up = c_up_ref[0]
 
-    @pl.when(r == 0)
-    def _init():
-        # Zero carry + zero min => first-row L equals the cost row.
-        for k, c in ((0, c_dn), (3, c_up)):
-            L_ref[k] = c
-            if with_diag:
-                L_ref[k + 1] = c
-                L_ref[k + 2] = c
-        s_dn_ref[0] = c_dn * (3 if with_diag else 1)
-        s_up_ref[0] = c_up * (3 if with_diag else 1)
+    for j in range(_VR):
+        c_dn = c_dn_ref[j]
+        c_up = c_up_ref[_VR - 1 - j]
+        first = (r == 0) & (j == 0)
 
-    @pl.when(r != 0)
-    def _step():
-        for k, c in ((0, c_dn), (3, c_up)):
-            Lv = L_ref[k]
-            Lv2 = _update(c, Lv, _min_d(Lv), P1, P2)
-            L_ref[k] = Lv2
-            if with_diag:
-                Ld = _shift_w(L_ref[k + 1], 1)
-                Lu = _shift_w(L_ref[k + 2], -1)
-                # Shifted-in zero columns carry (L=0, min=0) -> L' = c there.
-                md = _shift_w(_min_d(L_ref[k + 1]), 1)
-                mu = _shift_w(_min_d(L_ref[k + 2]), -1)
-                Ld2 = _update(c, Ld, md, P1, P2)
-                Lu2 = _update(c, Lu, mu, P1, P2)
-                L_ref[k + 1] = Ld2
-                L_ref[k + 2] = Lu2
-                out = Lv2 + Ld2 + Lu2
-            else:
-                out = Lv2
-            if k == 0:
-                s_dn_ref[0] = out
-            else:
-                s_up_ref[0] = out
+        @pl.when(first)
+        def _init(c_dn=c_dn, c_up=c_up, j=j):
+            # Zero carry + zero min => first-row L equals the cost row.
+            for k, c in ((0, c_dn), (3, c_up)):
+                L_ref[k] = c
+                if with_diag:
+                    L_ref[k + 1] = c
+                    L_ref[k + 2] = c
+            s_dn_ref[j] = c_dn * (3 if with_diag else 1)
+            s_up_ref[_VR - 1 - j] = c_up * (3 if with_diag else 1)
+
+        @pl.when(jnp.logical_not(first))
+        def _step(c_dn=c_dn, c_up=c_up, j=j):
+            for k, c in ((0, c_dn), (3, c_up)):
+                Lv = L_ref[k]
+                Lv2 = _update(c, Lv, _min_d(Lv), P1, P2)
+                L_ref[k] = Lv2
+                if with_diag:
+                    Ld = _shift_w(L_ref[k + 1], 1)
+                    Lu = _shift_w(L_ref[k + 2], -1)
+                    # Shifted-in zero columns carry (L=0, min=0) -> L' = c.
+                    md = _shift_w(_min_d(L_ref[k + 1]), 1)
+                    mu = _shift_w(_min_d(L_ref[k + 2]), -1)
+                    Ld2 = _update(c, Ld, md, P1, P2)
+                    Lu2 = _update(c, Lu, mu, P1, P2)
+                    L_ref[k + 1] = Ld2
+                    L_ref[k + 2] = Lu2
+                    out = Lv2 + Ld2 + Lu2
+                else:
+                    out = Lv2
+                if k == 0:
+                    s_dn_ref[j] = out
+                else:
+                    s_up_ref[_VR - 1 - j] = out
 
 
 _BW = 8  # horizontal block width (TPU sublane granularity)
@@ -165,25 +173,36 @@ def aggregate_8_pallas(
         cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
 
     with_diag = num_paths >= 8
+    # Pad H to the row-block size with zero-cost rows: a zero-cost row
+    # leaves every carry at (L=0, min=0), exactly the border-init rule, so
+    # the up-direction scan entering the real rows is unchanged.
+    Hp = ((H + _VR - 1) // _VR) * _VR
+    if Hp != H:
+        cf = jnp.pad(cf, ((0, Hp - H), (0, 0), (0, 0)))
+    nV = Hp // _VR
     vert = pl.pallas_call(
         functools.partial(_vertical_kernel, int(P1), int(P2), with_diag),
-        grid=(H,),
+        grid=(nV,),
         in_specs=[
-            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (nV - 1 - r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (nV - 1 - r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, W, D), jnp.float32),
-            jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, W, D), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, W, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=interpret,
     )
     s_dn, s_up = vert(cf, cf)
+    cf = cf[:H]
+    s_dn = s_dn[:H]
+    s_up = s_up[:H]
 
     nB = W // _BW
 
@@ -318,22 +337,33 @@ def sgm_reduce_pallas(
         cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
 
     with_diag = num_paths >= 8
+    # Pad H to the row-block size with zero-cost rows: a zero-cost row
+    # leaves every carry at (L=0, min=0), exactly the border-init rule, so
+    # the up-direction scan entering the real rows is unchanged.
+    Hp = ((H + _VR - 1) // _VR) * _VR
+    if Hp != H:
+        cf = jnp.pad(cf, ((0, Hp - H), (0, 0), (0, 0)))
+    nV = Hp // _VR
     vert = pl.pallas_call(
         functools.partial(_vertical_kernel, int(P1), int(P2), with_diag),
-        grid=(H,),
+        grid=(nV,),
         in_specs=[
-            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (nV - 1 - r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, D), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VR, W, D), lambda r: (nV - 1 - r, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((H, W, D), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W, D), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=interpret,
     )
     s_dn, s_up = vert(cf, cf)
+    cf = cf[:H]
+    s_dn = s_dn[:H]
+    s_up = s_up[:H]
 
     nB = W // _BW
 
