@@ -1,5 +1,9 @@
 """BASELINE.json config harness: parity + throughput per config.
 
+Throughput note: per-config mpx_per_s here times a single re-dispatch and
+can be distorted by the remote-TPU tunnel; bench.py's chained-in-jit number
+is the authoritative throughput. Parity/agreement numbers are exact.
+
 Runs the five BASELINE configs on synthetic scenes (the image has no
 Middlebury data and no network egress; the synthetic generator produces
 rectified pairs with known ground-truth disparity, textured + foreground
