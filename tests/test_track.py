@@ -319,3 +319,39 @@ class TestBallDrop:
         rep = drop_report(traj, drop_height_mm=500.0)
         assert rep["expected_gravity_mm_s2"] == 9800.0
         assert abs(abs(rep["gravity_mm_s2"]) - 9800.0) < 100.0
+
+
+class TestPoseWorkflow:
+    def test_end_to_end_artifacts(self, tmp_path):
+        from stereo_vision_tpu.track.pose_pipeline import run_pose_workflow
+        from stereo_vision_tpu.track.joints import MEDIAPIPE_INDICES
+
+        K = np.array([[1000.0, 0, 640], [0, 1000.0, 360], [0, 0, 1]])
+        rig = StereoRig(K1=K, d1=np.zeros(8), K2=K, d2=np.zeros(8),
+                        R=np.eye(3), T=np.array([-500.0, 0, 0]))
+        P1, P2 = rig.P1, rig.P2
+        T = 12
+        rng = np.random.default_rng(0)
+        gt = _synthetic_pose_sequence(T, noise=0.0)
+
+        def proj(P, pts):
+            ph = np.concatenate([pts, np.ones((len(pts), 1))], 1)
+            q = (P @ ph.T).T
+            return q[:, :2] / q[:, 2:]
+
+        lm_l = np.zeros((T, 33, 4))
+        lm_r = np.zeros((T, 33, 4))
+        for t in range(T):
+            lm_l[t, MEDIAPIPE_INDICES, :2] = proj(P1, gt[t]) + rng.normal(0, 0.3, (13, 2))
+            lm_r[t, MEDIAPIPE_INDICES, :2] = proj(P2, gt[t]) + rng.normal(0, 0.3, (13, 2))
+        lm_l[:, :, 3] = 0.95
+        lm_r[:, :, 3] = 0.95
+
+        res = run_pose_workflow(rig, lm_l, lm_r, out_dir=tmp_path, fps=30.0)
+        assert res.poses_raw.shape == (T, 13, 3)
+        err = np.nanmean(np.linalg.norm(res.poses_raw - gt, axis=-1))
+        assert err < 10.0  # mm, with 0.3px detection noise at 3m
+        assert np.isfinite(res.angles_smoothed).all()
+        for name in ("pose_3d_original.pkl", "pose_3d_smoothed.pkl",
+                     "joint_angles.csv", "smoothing_stats.json"):
+            assert (tmp_path / name).exists()
