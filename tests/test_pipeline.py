@@ -180,3 +180,34 @@ class TestShardedStreaming:
         disp, pts = proc.drain()
         assert disp.shape == (4, 128, 192)
         assert proc.drain() is None
+
+
+def test_sharded_sgbm_streams(cpu_mesh):
+    """BASELINE config #5 with the SGBM matcher: frame-parallel over the
+    data axis is the exact multi-chip decomposition of dense stereo (the
+    directional scans make spatial tiling sequential across chips)."""
+    import jax.numpy as jnp
+    from stereo_vision_tpu.parallel import create_mesh, make_sharded_pipeline
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
+    from stereo_vision_tpu.ops.rectify import stereo_rectify, init_undistort_rectify_map
+
+    K = jnp.array([[200.0, 0, 48.0], [0, 200.0, 32.0], [0, 0, 1.0]])
+    dist = jnp.zeros(8)
+    size = (96, 64)
+    R1, R2, P1, P2, Q = stereo_rectify(
+        K, dist, K, dist, size, jnp.eye(3), jnp.array([-50.0, 0.0, 0.0]), alpha=0.0
+    )
+    maps = (
+        *init_undistort_rectify_map(K, dist, R1, P1, size),
+        *init_undistort_rectify_map(K, dist, R2, P2, size),
+    )
+    mesh = create_mesh(4, 1, devices=list(cpu_mesh.devices.ravel()))
+    run = make_sharded_pipeline(
+        mesh, maps[:4], Q, matcher="sgbm",
+        params=StereoSGBMParams(num_disparities=16, block_size=3, backend="scan"),
+    )
+    rng = np.random.default_rng(0)
+    l = rng.integers(0, 255, (4, 64, 96)).astype(np.int32)
+    disp, pts = run(l, l)
+    assert disp.shape == (4, 64, 96)
+    assert pts.shape == (4, 64, 96, 3)
