@@ -61,8 +61,10 @@ def _shift_w(a, direction):
     return jnp.concatenate([a[1:], z], axis=0)
 
 
-_VR = 1  # vertical rows per grid step (2 was measured perf-neutral: the
-         # scan is bound by the row-to-row dependency chain, not step count)
+_VR = 2  # vertical rows per grid step. Near-neutral (20.06 vs 19.63
+         # Mpx/s full-pipe at 720p/D=128): the scan is bound by the
+         # row-to-row dependency chain, not step count; 2 keeps the small
+         # edge and exercises the multi-row path.
 
 
 def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, L_ref):
