@@ -19,6 +19,12 @@ from stereo_vision_tpu.models.convert import (
     convert_ultralytics_state_dict,
     load_ultralytics_checkpoint,
 )
+from stereo_vision_tpu.models.train import (
+    TrainState,
+    make_train_step,
+    shard_variables,
+    put_batch,
+)
 from stereo_vision_tpu.models.pose import (
     PoseNet,
     NUM_LANDMARKS,
@@ -47,4 +53,8 @@ __all__ = [
     "landmarks_to_pixels",
     "convert_ultralytics_state_dict",
     "load_ultralytics_checkpoint",
+    "TrainState",
+    "make_train_step",
+    "shard_variables",
+    "put_batch",
 ]

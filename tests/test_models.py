@@ -174,3 +174,38 @@ class TestPoseNet:
         assert abs(px[0, 0, 0] - 960) < 1e-5
         assert abs(px[0, 0, 1] - 540) < 1e-5
         assert abs(px[0, 0, 3] - 0.5) < 1e-5
+
+
+class TestShardedTraining:
+    def test_dp_tp_train_step(self, cpu_mesh):
+        import optax
+        from stereo_vision_tpu.models.train import make_train_step, shard_variables
+        from stereo_vision_tpu.models.pose import PoseNet, pose_loss
+        from stereo_vision_tpu.parallel.mesh import SPACE_AXIS
+
+        model = PoseNet(width=16)
+        B, HW = 8, 64
+        x = jnp.zeros((B, HW, HW, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+        # tp placement picks up wide Dense kernels
+        _, shardings = shard_variables(cpu_mesh, variables["params"])
+        import jax.tree_util as jtu
+        specs = [s.spec for s in jtu.tree_leaves(shardings, is_leaf=lambda l: hasattr(l, "spec"))]
+        assert any(SPACE_AXIS in str(sp) for sp in specs), "no tensor-parallel kernels found"
+
+        init_state, step = make_train_step(
+            cpu_mesh,
+            lambda v, inp: model.apply(v, inp, train=False),
+            lambda out, tgt: pose_loss(out, tgt),
+            optax.adam(1e-3),
+        )
+        state = init_state(variables)
+        gt = jnp.concatenate(
+            [jnp.full((B, 33, 3), 0.5), jnp.ones((B, 33, 1))], axis=-1
+        )
+        xb = np.random.default_rng(0).random((B, HW, HW, 3), np.float32)
+        state, l0 = step(state, xb, np.asarray(gt))
+        state, l1 = step(state, xb, np.asarray(gt))
+        assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+        assert int(state.step) == 2
