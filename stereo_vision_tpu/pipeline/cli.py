@@ -55,6 +55,16 @@ def _detect_corners_from_video(video, board, frames_cfg):
     return np.stack(corners), np.asarray(kept), size
 
 
+def _frames_config(args):
+    from stereo_vision_tpu.pipeline.config import FrameExtractionConfig
+
+    return FrameExtractionConfig(
+        interval=args.frame_interval,
+        max_frames=args.max_frames,
+        start_frame=args.start_frame,
+    )
+
+
 def cmd_intrinsic(args) -> int:
     from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
     from stereo_vision_tpu.pipeline.config import PipelineConfig, BoardConfig
@@ -62,7 +72,9 @@ def cmd_intrinsic(args) -> int:
     from stereo_vision_tpu.io.video import find_video
 
     cols, rows = _parse_pair(args.board)
-    cfg = PipelineConfig(board=BoardConfig(cols, rows, args.square))
+    cfg = PipelineConfig(
+        board=BoardConfig(cols, rows, args.square), frames=_frames_config(args)
+    )
     store = ArtifactStore(args.test_dir)
     detections, size = {}, None
     for cam in ("left", "right"):
@@ -91,6 +103,7 @@ def cmd_extrinsic(args) -> int:
     cfg = PipelineConfig(
         board=BoardConfig(cols, rows, args.square),
         stereo=StereoConfig(actual_baseline_mm=args.actual_distance),
+        frames=_frames_config(args),
     )
     store = ArtifactStore(args.test_dir)
     per_cam, size = {}, None
@@ -203,10 +216,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="stereo_vision_tpu")
     sub = p.add_subparsers(dest="command", required=True)
 
+    def add_frame_args(sp):
+        # reference sampling defaults (intrinsic.py:452-467)
+        sp.add_argument("--frame-interval", type=int, default=15)
+        sp.add_argument("--max-frames", type=int, default=20)
+        sp.add_argument("--start-frame", type=int, default=30)
+
     pi = sub.add_parser("intrinsic", help="per-camera calibration")
     pi.add_argument("--test-dir", required=True)
     pi.add_argument("--board", default="7x4", help="inner corners, e.g. 7x4")
     pi.add_argument("--square", type=float, default=100.0, help="square size mm")
+    add_frame_args(pi)
     pi.set_defaults(fn=cmd_intrinsic)
 
     pe = sub.add_parser("extrinsic", help="stereo calibration")
@@ -214,6 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--board", default="7x4")
     pe.add_argument("--square", type=float, default=100.0)
     pe.add_argument("--actual-distance", type=float, default=None)
+    add_frame_args(pe)
     pe.set_defaults(fn=cmd_extrinsic)
 
     pr = sub.add_parser("rectify", help="Bouguet rectification maps")
