@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stereo_vision_tpu.ops.remap import remap_bilinear
+from stereo_vision_tpu.ops.remap import make_remap, remap_bilinear
 from stereo_vision_tpu.stereo.bm import StereoBMParams, stereo_bm
 from stereo_vision_tpu.stereo.depth import reproject_disparity_to_3d
 from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
@@ -43,10 +43,15 @@ def batched_stereo_pipeline(
     through Q. vmap carries the batch axis; shard the inputs to distribute.
     """
     mx1, my1, mx2, my2 = maps
+    H, W = mx1.shape
+    remap_l = make_remap(mx1, my1, (H, W))
+    remap_r = make_remap(mx2, my2, (H, W))
 
     def one(l, r):
-        lr = remap_bilinear(l, mx1, my1)
-        rr = remap_bilinear(r, mx2, my2)
+        # Round to integer intensities (cv2 remaps uint8 -> uint8) before
+        # the integer-cost matchers.
+        lr = jnp.round(remap_l(l.astype(jnp.float32))).astype(jnp.int32)
+        rr = jnp.round(remap_r(r.astype(jnp.float32))).astype(jnp.int32)
         if matcher == "sgbm":
             disp = stereo_sgbm(lr, rr, params or StereoSGBMParams())
         elif matcher == "bm":
