@@ -32,6 +32,7 @@ class StereoBMParams(NamedTuple):
     prefilter_cap: int = 31
     texture_threshold: int = 10
     uniqueness_ratio: int = 15
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
 
 def prefilter_xsobel(img: jnp.ndarray, cap: int = 31) -> jnp.ndarray:
@@ -119,6 +120,12 @@ def stereo_bm(
     lp = prefilter_xsobel(left, params.prefilter_cap)
     rp = prefilter_xsobel(right, params.prefilter_cap)
 
+    backend = params.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if backend == "pallas" and mindisp == 0:
+        return _stereo_bm_pallas(lp, rp, params, H, W)
+
     cost = _sad_cost_volume(lp, rp, ndisp, mindisp, bs)  # (D, H', W')
     Hp, Wp = cost.shape[1], cost.shape[2]
 
@@ -165,3 +172,35 @@ def stereo_bm(
 
 
 stereo_bm_jit = jax.jit(stereo_bm, static_argnames=("params",))
+
+
+def _stereo_bm_pallas(lp, rp, params: StereoBMParams, H: int, W: int) -> jnp.ndarray:
+    """Fully-fused single-pass BM (stereo_vision_tpu.stereo.bm_pallas):
+    the cost volume never reaches HBM. Bit-equal to the XLA path (tested
+    in interpret mode on CPU)."""
+    from stereo_vision_tpu.stereo.bm_pallas import bm_stats_pallas
+
+    ndisp = params.num_disparities
+    bs = params.block_size
+    wsz2 = bs // 2
+    disp_v, ok_v = bm_stats_pallas(
+        lp,
+        rp,
+        ndisp=ndisp,
+        block_size=bs,
+        cap=params.prefilter_cap,
+        uniq=params.uniqueness_ratio,
+        tex_thr=params.texture_threshold,
+    )
+    Hv = H - bs + 1
+    Wv = W - bs + 1
+    disp = disp_v[:, :Wv]
+    ok = ok_v[:, :Wv] > 0.5
+    # Left margin: the full disparity range must be in-frame
+    # (cv2: x >= minDisparity + numDisparities - 1 + wsz2).
+    xs = jnp.arange(Wv).reshape(1, Wv) + wsz2
+    range_ok = (xs - wsz2 - (ndisp - 1)) >= 0
+    invalid_val = jnp.float32(-1.0)
+    out_v = jnp.where(ok & range_ok, disp, invalid_val)
+    full = jnp.full((H, W), invalid_val, jnp.float32)
+    return jax.lax.dynamic_update_slice(full, out_v, (wsz2, wsz2))

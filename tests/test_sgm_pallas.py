@@ -95,3 +95,26 @@ def test_four_path_fast_mode_matches_scan(rng):
     np.testing.assert_array_equal(out4, ref4)
     ref8 = np.asarray(_aggregate_8(C, 200, 800, backend="scan", num_paths=8))
     assert not np.array_equal(ref4, ref8)
+
+
+def test_bm_pallas_matches_xla(rng):
+    """Fused single-pass BM (interpret) == the XLA reference path."""
+    import functools as ft
+    from stereo_vision_tpu.stereo import bm as bm_mod
+    from stereo_vision_tpu.stereo import bm_pallas as bp
+
+    base = rng.integers(0, 255, (48, 100)).astype(np.int32)
+    left = jnp.asarray(base[:, 20:96])
+    right = jnp.asarray(base[:, 14:90])
+    p = bm_mod.StereoBMParams(num_disparities=16, block_size=9, backend="xla")
+    ref = np.asarray(bm_mod.stereo_bm(left, right, p))
+
+    orig = bp.bm_stats_pallas
+    bp.bm_stats_pallas = ft.partial(orig.__wrapped__, interpret=True)
+    try:
+        mine = np.asarray(
+            bm_mod.stereo_bm(left, right, p._replace(backend="pallas"))
+        )
+    finally:
+        bp.bm_stats_pallas = orig
+    np.testing.assert_array_equal(mine, ref)
