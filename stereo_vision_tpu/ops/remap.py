@@ -152,9 +152,23 @@ def plan_remap(map_x, map_y, source_shape, row_tile: int = 8):
     import numpy as np
 
     my = np.asarray(map_y)
-    H = source_shape[0]
-    Ho = my.shape[0]
-    if Ho % row_tile != 0 or not np.isfinite(my).all():
+    mx = np.asarray(map_x)
+    H, W = source_shape[0], source_shape[1]
+    Ho, Wo = my.shape
+    if not (np.isfinite(my).all() and np.isfinite(mx).all()):
+        return ("gather", None)
+    # 2-D tiled variant: per (8, 128) output tile, the source window must
+    # be bounded in BOTH axes.
+    if Ho % 8 == 0 and Wo % 128 == 0:
+        ty = my.reshape(Ho // 8, 8, Wo // 128, 128)
+        tx = mx.reshape(Ho // 8, 8, Wo // 128, 128)
+        span_y = float((ty.max(axis=(1, 3)) - ty.min(axis=(1, 3))).max())
+        span_x = float((tx.max(axis=(1, 3)) - tx.min(axis=(1, 3))).max())
+        band_y = max(16, ((int(span_y) + 4 + 7) // 8) * 8)
+        band_x = max(128, ((int(span_x) + 4 + 127) // 128) * 128)
+        if band_y <= H and band_x <= W:
+            return ("mxu_tiled", (band_y, band_x))
+    if Ho % row_tile != 0:
         return ("gather", None)
     tiles = my.reshape(Ho // row_tile, row_tile, -1)
     span = float((tiles.max(axis=(1, 2)) - tiles.min(axis=(1, 2))).max())
@@ -174,8 +188,84 @@ def make_remap(map_x, map_y, source_shape, row_tile: int = 8):
     kind, band = ("gather", None) if backend_is_cpu else plan_remap(
         map_x, map_y, source_shape, row_tile
     )
+    if kind == "mxu_tiled":
+        by, bx = band
+        return lambda img: remap_bilinear_mxu_tiled(
+            img, map_x, map_y, band_y=by, band_x=bx
+        )
     if kind == "mxu":
         return lambda img: remap_bilinear_mxu(
             img, map_x, map_y, row_tile=row_tile, band=band
         )
     return lambda img: remap_bilinear(img, map_x, map_y)
+
+
+@functools.partial(jax.jit, static_argnames=("band_y", "band_x"))
+def remap_bilinear_mxu_tiled(
+    img: jnp.ndarray,
+    map_x: jnp.ndarray,
+    map_y: jnp.ndarray,
+    band_y: int = 32,
+    band_x: int = 256,
+) -> jnp.ndarray:
+    """Gather-free bilinear remap, tiled in BOTH axes.
+
+    ``remap_bilinear_mxu`` contracts over the full image width, doing
+    O(W) work per output pixel. Rectification maps are smooth in x too:
+    each (8, 128) output tile reads from a bounded (band_y, band_x)
+    source window, so the one-hot contractions shrink by W/band_x —
+    measured ~10x less compute at 1080p.
+
+    Requirements: output dims divisible by (8, 128); all source coords of
+    each output tile within its clamped (band_y, band_x) window (use
+    ``plan_remap`` to derive safe bands from concrete maps).
+    """
+    H, W = img.shape
+    Ho, Wo = map_x.shape
+    TY, TX = 8, 128
+    assert Ho % TY == 0 and Wo % TX == 0, "output dims must tile by (8, 128)"
+    nty, ntx = Ho // TY, Wo // TX
+    P = TY * TX
+    imgf = img.astype(jnp.float32)
+
+    def tiles(a):
+        return (
+            a.reshape(nty, TY, ntx, TX).transpose(0, 2, 1, 3).reshape(nty * ntx, TY, TX)
+        )
+
+    mx = tiles(map_x)
+    my = tiles(map_y)
+    y0 = jnp.floor(my)
+    x0 = jnp.floor(mx)
+    fy = my - y0
+    fx = mx - x0
+    lo_y = jnp.clip(jnp.min(y0, axis=(1, 2)).astype(jnp.int32) - 1, 0, max(H - band_y, 0))
+    lo_x = jnp.clip(jnp.min(x0, axis=(1, 2)).astype(jnp.int32) - 1, 0, max(W - band_x, 0))
+
+    def one_tile(args):
+        y0_t, x0_t, fy_t, fx_t, ly, lx = args
+        src = jax.lax.dynamic_slice(imgf, (ly, lx), (band_y, band_x))
+        yrel = (y0_t.astype(jnp.int32) - ly).reshape(P)
+        ks = jax.lax.broadcasted_iota(jnp.int32, (P, band_y), 1)
+        fyf = fy_t.reshape(P, 1)
+        vy0 = ((y0_t >= 0) & (y0_t <= H - 1)).reshape(P, 1)
+        vy1 = ((y0_t + 1 >= 0) & (y0_t + 1 <= H - 1)).reshape(P, 1)
+        Wy = jnp.where((ks == yrel[:, None]) & vy0, 1.0 - fyf, 0.0) + jnp.where(
+            (ks == yrel[:, None] + 1) & vy1, fyf, 0.0
+        )
+        tmp = jnp.dot(Wy, src, preferred_element_type=jnp.float32)  # (P, band_x)
+
+        xrel = (x0_t.astype(jnp.int32) - lx).reshape(P)
+        ws = jax.lax.broadcasted_iota(jnp.int32, (P, band_x), 1)
+        fxf = fx_t.reshape(P, 1)
+        vx0 = ((x0_t >= 0) & (x0_t <= W - 1)).reshape(P, 1)
+        vx1 = ((x0_t + 1 >= 0) & (x0_t + 1 <= W - 1)).reshape(P, 1)
+        Wx = jnp.where((ws == xrel[:, None]) & vx0, 1.0 - fxf, 0.0) + jnp.where(
+            (ws == xrel[:, None] + 1) & vx1, fxf, 0.0
+        )
+        return jnp.sum(Wx * tmp, axis=1).reshape(TY, TX)
+
+    out = jax.lax.map(one_tile, (y0, x0, fy, fx, lo_y, lo_x))
+    return (
+        out.reshape(nty, ntx, TY, TX).transpose(0, 2, 1, 3).reshape(Ho, Wo)
+    )

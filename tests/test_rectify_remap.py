@@ -108,3 +108,26 @@ def test_remap_multichannel():
     jax_out = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(mx), jnp.asarray(my)))
     diff = np.abs(jax_out[2:-2, 2:-2] - cv_out[2:-2, 2:-2])
     assert diff.max() < 2.0
+
+
+def test_remap_mxu_tiled_matches_gather():
+    from stereo_vision_tpu.ops.remap import (
+        remap_bilinear,
+        remap_bilinear_mxu_tiled,
+        plan_remap,
+        make_remap,
+    )
+
+    rng = np.random.default_rng(5)
+    H, W = 64, 256
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    map_x = jnp.asarray(xs + 3.0 * np.sin(ys / 17.0))
+    map_y = jnp.asarray(ys + 2.0 * np.cos(xs / 23.0))
+    kind, band = plan_remap(map_x, map_y, (H, W))
+    assert kind == "mxu_tiled"
+    out = remap_bilinear_mxu_tiled(img, map_x, map_y, band_y=band[0], band_x=band[1])
+    ref = remap_bilinear(img, map_x, map_y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    fn = make_remap(map_x, map_y, (H, W))
+    np.testing.assert_allclose(np.asarray(fn(img)), np.asarray(ref), atol=1e-3)
