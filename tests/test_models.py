@@ -102,7 +102,7 @@ class TestYOLOv8:
             return optax.apply_updates(p, u), s, l
 
         best = l0
-        for _ in range(40):
+        for _ in range(15):
             params, state, l = step(params, state)
             best = min(best, float(l))
         assert best < l0
@@ -163,7 +163,7 @@ class TestPoseNet:
             return optax.apply_updates(p, u), s, l
 
         best = l0
-        for _ in range(40):
+        for _ in range(15):
             params, state, l = step(params, state)
             best = min(best, float(l))
         assert best < l0
