@@ -131,3 +131,29 @@ def test_remap_mxu_tiled_matches_gather():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
     fn = make_remap(map_x, map_y, (H, W))
     np.testing.assert_allclose(np.asarray(fn(img)), np.asarray(ref), atol=1e-3)
+
+
+def test_plan_remap_falls_back_on_wild_maps():
+    from stereo_vision_tpu.ops.remap import plan_remap
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 256
+    # maps that scatter all over the source: no bounded band exists
+    map_x = jnp.asarray(rng.uniform(0, W - 1, (H, W)).astype(np.float32))
+    map_y = jnp.asarray(rng.uniform(0, H - 1, (H, W)).astype(np.float32))
+    kind, band = plan_remap(map_x, map_y, (H, W))
+    assert kind == "gather"
+
+
+def test_plan_remap_identity():
+    from stereo_vision_tpu.ops.remap import plan_remap, remap_bilinear_mxu_tiled, remap_bilinear
+
+    H, W = 32, 256  # wide enough that a 128+margin x-band fits
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    kind, band = plan_remap(jnp.asarray(xs), jnp.asarray(ys), (H, W))
+    assert kind == "mxu_tiled"
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    out = remap_bilinear_mxu_tiled(img, jnp.asarray(xs), jnp.asarray(ys),
+                                   band_y=band[0], band_x=band[1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
