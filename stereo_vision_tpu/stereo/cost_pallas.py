@@ -55,7 +55,7 @@ def _bt_row(l, u0, u1, v_m, v0_m, v1_m):
 
 
 def _cost_kernel(
-    H, W, D, bs,
+    H, W, D, bs, x_off,
     ls_ref, lu0s_ref, lu1s_ref, lr_ref, lu0r_ref, lu1r_ref,
     vs_ref, v0s_ref, v1s_ref, vr_ref, v0r_ref, v1r_ref,
     out_ref,
@@ -119,17 +119,21 @@ def _cost_kernel(
         n_missing = jnp.maximum(half + half - r, 0)  # copies of row 0 absent
         p0 = P_ref[0]  # row 0 lives in slot 0 while r < bs
         s = s + n_missing.astype(jnp.float32) * p0
-        # Box along W with replicate edges.
+        # Box along W with replicate edges; emit only x >= x_off (the cv2
+        # valid aggregation range) so the caller never slices a copy.
         left_edge = s[:1]
         right_edge = s[-1:]
         sp = jnp.concatenate([left_edge] * half + [s] + [right_edge] * half, axis=0)
-        acc = sp[0:W]
+        Wo = W - x_off
+        acc = sp[x_off : x_off + Wo]
         for k in range(1, bs):
-            acc = acc + sp[k : k + W]
+            acc = acc + sp[x_off + k : x_off + k + Wo]
         out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("ndisp", "block_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ndisp", "block_size", "x_offset", "interpret")
+)
 def cost_volume_pallas(
     ls: jnp.ndarray,
     rs: jnp.ndarray,
@@ -137,6 +141,7 @@ def cost_volume_pallas(
     rraw: jnp.ndarray,
     ndisp: int | None = None,
     block_size: int = 5,
+    x_offset: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused windowed BT cost volume.
@@ -148,12 +153,15 @@ def cost_volume_pallas(
         others fall back upstream).
 
     Returns:
-      (H, W, D) float32 box-summed cost (exact integers; equals
-      compute_cost_volume, which tests assert).
+      (H, W - x_offset, D) float32 box-summed cost for columns
+      x >= x_offset (exact integers; equals compute_cost_volume sliced,
+      which tests assert).
     """
     H, W = ls.shape
     D = int(ndisp)
     half = block_size // 2
+    assert x_offset % 8 == 0, "x_offset must be sublane-aligned"
+    Wo = W - x_offset
 
     def half_extrema(a):
         l_ = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
@@ -202,18 +210,18 @@ def cost_volume_pallas(
         (8, Wr), lambda r: (jnp.minimum(r, H - 1) // 8, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, W, D),
+        (1, Wo, D),
         lambda r: (jnp.clip(r - half, 0, H - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
 
-    kern = functools.partial(_cost_kernel, H, W, D, block_size)
+    kern = functools.partial(_cost_kernel, H, W, D, block_size, x_offset)
     out = pl.pallas_call(
         kern,
         grid=(H + half,),
         in_specs=[in_row_spec_l] * 6 + [in_row_spec_r] * 6,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, Wo, D), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block_size, W, D), jnp.float32),
             pltpu.VMEM((1, W, D), jnp.float32),

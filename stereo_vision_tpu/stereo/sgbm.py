@@ -272,22 +272,27 @@ def stereo_sgbm(
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
 
     if backend == "pallas" and mindisp == 0:
-        # Fused Pallas cost kernel (exact vs compute_cost_volume; the XLA
+        # Fused Pallas cost kernel, emitting only the cv2 valid x range
+        # directly (exact vs compute_cost_volume sliced; the XLA
         # diagonal-read formulation costs ~28 ms/frame at 720p/D=128).
         from stereo_vision_tpu.stereo.cost_pallas import cost_volume_pallas
 
         ftz = params.ftzero
-        C_full = cost_volume_pallas(
+        x_off = minX1 if minX1 % 8 == 0 else 0
+        C = cost_volume_pallas(
             _xsobel_clipped(left, ftz),
             _xsobel_clipped(right, ftz),
             left.astype(jnp.int32),
             right.astype(jnp.int32),
             ndisp=ndisp,
             block_size=params.block_size,
+            x_offset=x_off,
         )
+        if x_off != minX1:
+            C = C[:, minX1:, :]
     else:
         C_full = compute_cost_volume(left, right, params)  # (H, W, D)
-    C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
+        C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
     Wv = C.shape[1]
 
     if backend == "pallas":

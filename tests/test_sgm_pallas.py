@@ -83,6 +83,15 @@ def test_cost_volume_pallas_exact(rng):
         np.testing.assert_array_equal(
             mine.astype(np.int32), ref.astype(np.int32), err_msg=f"{H}x{W} D{D} bs{bs}"
         )
+        # valid-range-only emission (x_offset) equals the sliced reference
+        off = 8
+        mine_off = np.asarray(
+            cost_volume_pallas(ls, rs, left, right, ndisp=D, block_size=bs,
+                               x_offset=off, interpret=True)
+        )
+        np.testing.assert_array_equal(
+            mine_off.astype(np.int32), ref[:, off:].astype(np.int32)
+        )
 
 
 def test_four_path_fast_mode_matches_scan(rng):
