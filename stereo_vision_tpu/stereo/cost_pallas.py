@@ -25,6 +25,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _build_shifted_ext(arr_row, W: int, D: int):
+    """Like _build_shifted but returns (W+2, D): rows x = -1 .. W, so the
+    caller can derive the shifted half-sample extrema from ONE stack via
+    sublane shifts (value slices take arbitrary offsets)."""
+    Wpd = arr_row.shape[0]
+    B = jnp.broadcast_to(arr_row[:, None], (Wpd, D))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Wpd, D), 1)
+    shift = 1
+    while shift < D:
+        z = jnp.zeros((shift, D), B.dtype)
+        shifted = jnp.concatenate([z, B[:-shift]], axis=0)
+        take = (lane & shift) != 0
+        B = jnp.where(take, shifted, B)
+        shift *= 2
+    return B[D - 1 : D + W + 1, :]
+
+
+def _shifted_with_extrema(arr_row, W: int, D: int):
+    """One stack build -> (M, v0s, v1s): the shifted values and shifted
+    BT half-sample extrema. vl[x-d] = floor((v[x-d] + v[x-d-1]) / 2) is a
+    sublane shift of the same stack (the left edge-replicate padding
+    reproduces cv2's vl[0] = v[0] rule; the caller's right-edge replicate
+    reproduces vr[W-1] = v[W-1])."""
+    Ms = _build_shifted_ext(arr_row, W, D)
+    M = Ms[1 : W + 1]
+    vl = jnp.floor((M + Ms[0:W]) * 0.5)
+    vr = jnp.floor((M + Ms[2 : W + 2]) * 0.5)
+    v0 = jnp.minimum(jnp.minimum(vl, vr), M)
+    v1 = jnp.maximum(jnp.maximum(vl, vr), M)
+    return M, v0, v1
+
+
 def _build_shifted(arr_row, W: int, D: int):
     """(Wpd,) int16 padded row -> (W, D) matrix M[x, d] = row[x + D - 1 - d]
     via log2(D) masked sublane shifts on a (Wpd, D) workspace.
@@ -57,7 +89,7 @@ def _bt_row(l, u0, u1, v_m, v0_m, v1_m):
 def _cost_kernel(
     H, W, D, bs, x_off,
     ls_ref, lu0s_ref, lu1s_ref, lr_ref, lu0r_ref, lu1r_ref,
-    vs_ref, v0s_ref, v1s_ref, vr_ref, v0r_ref, v1r_ref,
+    vs_ref, vr_ref,
     out_ref,
     P_ref, S_ref,
 ):
@@ -85,15 +117,13 @@ def _cost_kernel(
         return jnp.sum(jnp.where(rows == row_in_block, blk, 0.0), axis=0)
 
     # Build the row's pixel cost: sobel channel + (raw channel >> 2).
-    vs_m = _build_shifted(take(vs_ref, Wpd), W, D)
-    v0s_m = _build_shifted(take(v0s_ref, Wpd), W, D)
-    v1s_m = _build_shifted(take(v1s_ref, Wpd), W, D)
+    # One shifted-stack build per channel; the shifted half-extrema derive
+    # from sublane shifts of the same stack (3x fewer log-shift builds).
+    vs_m, v0s_m, v1s_m = _shifted_with_extrema(take(vs_ref, Wpd + 1), W, D)
     c_sob = _bt_row(
         take(ls_ref, W), take(lu0s_ref, W), take(lu1s_ref, W), vs_m, v0s_m, v1s_m
     )
-    vr_m = _build_shifted(take(vr_ref, Wpd), W, D)
-    v0r_m = _build_shifted(take(v0r_ref, Wpd), W, D)
-    v1r_m = _build_shifted(take(v1r_ref, Wpd), W, D)
+    vr_m, v0r_m, v1r_m = _shifted_with_extrema(take(vr_ref, Wpd + 1), W, D)
     c_raw = _bt_row(
         take(lr_ref, W), take(lu0r_ref, W), take(lu1r_ref, W), vr_m, v0r_m, v1r_m
     )
@@ -178,30 +208,29 @@ def cost_volume_pallas(
         return c(a), c(u0), c(u1)
 
     def prep_right(a):
-        v0, v1 = half_extrema(a)
-        # Left-pad by D with edge replication (keeps the kernel's workspace
-        # slice sublane-aligned; only D-1 columns of history are consumed).
-        padl = lambda x: jnp.concatenate(
-            [jnp.repeat(x[:, :1], D, axis=1), x], axis=1
+        # Left-pad by D and right-pad by 1 with edge replication: the
+        # kernel derives the half-extrema from this single padded row
+        # (left replicate -> cv2's vl[0]=v[0]; right -> vr[W-1]=v[W-1]).
+        return jnp.concatenate(
+            [jnp.repeat(a[:, :1], D, axis=1), a, a[:, -1:]], axis=1
         ).astype(jnp.int16)
-        return padl(a), padl(v0), padl(v1)
 
     l_s, lu0_s, lu1_s = prep_left(ls)
     l_r, lu0_r, lu1_r = prep_left(lraw)
-    v_s, v0_s, v1_s = prep_right(rs)
-    v_r, v0_r, v1_r = prep_right(rraw)
+    v_s = prep_right(rs)
+    v_r = prep_right(rraw)
 
     # Pad H to a multiple of 8 for the (8, width) input blocks.
     Hp = ((H + 7) // 8) * 8
     padh = lambda a: jnp.pad(a, ((0, Hp - H), (0, 0)), mode="edge")
     lefts = [padh(a) for a in (l_s, lu0_s, lu1_s, l_r, lu0_r, lu1_r)]
-    rights = [padh(a) for a in (v_s, v0_s, v1_s, v_r, v0_r, v1_r)]
+    rights = [padh(a) for a in (v_s, v_r)]
     Wpd = W + D
-    # Pad widths to lane multiples.
+    # Pad widths to lane multiples (right arrays carry one extra edge col).
     Wl = ((W + 127) // 128) * 128
-    Wr = ((Wpd + 127) // 128) * 128
+    Wr = ((Wpd + 1 + 127) // 128) * 128
     lefts = [jnp.pad(a, ((0, 0), (0, Wl - W))) for a in lefts]
-    rights = [jnp.pad(a, ((0, 0), (0, Wr - Wpd))) for a in rights]
+    rights = [jnp.pad(a, ((0, 0), (0, Wr - (Wpd + 1))), mode="edge") for a in rights]
 
     in_row_spec_l = pl.BlockSpec(
         (8, Wl), lambda r: (jnp.minimum(r, H - 1) // 8, 0), memory_space=pltpu.VMEM
@@ -219,7 +248,7 @@ def cost_volume_pallas(
     out = pl.pallas_call(
         kern,
         grid=(H + half,),
-        in_specs=[in_row_spec_l] * 6 + [in_row_spec_r] * 6,
+        in_specs=[in_row_spec_l] * 6 + [in_row_spec_r] * 2,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((H, Wo, D), jnp.float32),
         scratch_shapes=[

@@ -101,11 +101,17 @@ def _bt_channel_cost(p1row: jnp.ndarray, p2row: jnp.ndarray, ndisp: int, mindisp
         return v0, v1
 
     u0, u1 = half_extrema(p1row)
-    v0, v1 = half_extrema(p2row)
 
     maxshift = mindisp + ndisp - 1
     pad = lambda a: jnp.pad(a, ((0, 0), (maxshift, 0)), mode="edge")
-    v_p, v0_p, v1_p = pad(p2row), pad(v0), pad(v1)
+    # Clamp semantics: pad the VALUE row first, then take half-extrema —
+    # out-of-range right samples behave as a constant-replicated signal.
+    # (cv2 never evaluates x - d < 0 at all — those columns are outside
+    # its valid region — so either clamp convention preserves parity; this
+    # one matches the Pallas cost kernel's single-stack derivation
+    # exactly.)
+    v_p = pad(p2row)
+    v0_p, v1_p = half_extrema(v_p)
 
     def per_d(d):
         off = maxshift - (mindisp + d)
