@@ -366,14 +366,17 @@ def stereo_sgbm(
             best_full, best.astype(jnp.int32), (0, minX1)
         )
 
-        def per_d(d):
-            # candidates from left pixel x2 + (d + mindisp)
+        # Running min over D STATIC slices: each right pixel x2 reads the
+        # contiguous window pack_full[:, x2 .. x2+D-1], which XLA fuses
+        # into one vectorized pass. (A vmap'd dynamic_slice formulation
+        # lowers to a gather materializing a (D, H, W) volume — measured
+        # ~21 ms of the 720p/D=128 frame, vs ~1 ms for this form.)
+        packed = jnp.full((H, W), sentinel, jnp.int32)
+        for d in range(ndisp):
             off = d + mindisp
-            pk = jax.lax.dynamic_slice(pack_full, (0, off), (H, W))
-            bs_ = jax.lax.dynamic_slice(best_full, (0, off), (H, W))
-            return jnp.where(bs_ == d.astype(jnp.int32), pk, sentinel)
-
-        packed = jnp.min(jax.vmap(per_d)(jnp.arange(ndisp)), axis=0)  # (H, W)
+            pk = pack_full[:, off : off + W]
+            bs_ = best_full[:, off : off + W]
+            packed = jnp.minimum(packed, jnp.where(bs_ == d, pk, sentinel))
         disp2 = (packed & ((1 << 11) - 1)).astype(jnp.int32)
         disp2 = jnp.where(packed >= sentinel, -(1 << 10), disp2)
 
