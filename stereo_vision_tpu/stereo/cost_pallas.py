@@ -158,7 +158,9 @@ def _cost_kernel(
         acc = sp[x_off : x_off + Wo]
         for k in range(1, bs):
             acc = acc + sp[x_off + k : x_off + k + Wo]
-        out_ref[0] = acc
+        # Emit int16 (windowed cost < 15k): halves the volume's HBM write
+        # here and its reads in the aggregation kernels.
+        out_ref[0] = acc.astype(jnp.int16)
 
 
 @functools.partial(
@@ -250,7 +252,7 @@ def cost_volume_pallas(
         grid=(H + half,),
         in_specs=[in_row_spec_l] * 6 + [in_row_spec_r] * 2,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((H, Wo, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, Wo, D), jnp.int16),
         scratch_shapes=[
             pltpu.VMEM((block_size, W, D), jnp.float32),
             pltpu.VMEM((1, W, D), jnp.float32),

@@ -306,6 +306,11 @@ def stereo_sgbm(
         # the stats kernel directly — S never materializes (sgm_pallas).
         from stereo_vision_tpu.stereo.sgm_pallas import sgm_reduce_pallas
 
+        # NOTE: int16 direction volumes (cost_bound=bs^2*(2*ftzero+63)) were
+        # measured ~10% SLOWER on v5e — the scans are dependency-chain
+        # bound and the f32<->int16 packing lengthens the critical path —
+        # so the volumes stay f32 (int16 is kept gated in sgm_reduce for
+        # future hardware).
         minS_f, best_f, sm_f, s0_f, sp_f, uok_f = sgm_reduce_pallas(
             C, P1, P2, params.uniqueness_ratio, num_paths=params.num_paths
         )
@@ -381,18 +386,29 @@ def stereo_sgbm(
         disp2 = jnp.where(packed >= sentinel, -(1 << 10), disp2)
 
         d_f = jnp.floor(disp).astype(jnp.int32)
-        d_c = jnp.ceil(disp).astype(jnp.int32)
+        d_c = jnp.ceil(disp).astype(jnp.int32)  # == d_f when disp is integral
 
-        def lookup(dd):
-            xq = xs[None, :] - dd
-            ok_range = (xq >= 0) & (xq < W)
-            v = disp2[jnp.arange(H)[:, None], jnp.clip(xq, 0, W - 1)]
-            return ok_range, v
+        # Gather-free lookup of disp2[y, x - dd] for dd in {d_f, d_c}: a
+        # per-pixel gather costs ~24 ms on TPU at this size; D+2 static
+        # shifts + selects cost ~5 ms. Out-of-range columns read the
+        # -(1<<10) pad, which fails the v >= mindisp test — identical to
+        # the explicit ok_range mask.
+        oob = jnp.int32(-(1 << 10))
+        padl = maxD + 1
+        d2p = jnp.concatenate(
+            [jnp.full((H, padl), oob, jnp.int32), disp2,
+             jnp.full((H, 1), oob, jnp.int32)], axis=1
+        )
+        v_f = jnp.full((H, Wv), oob, jnp.int32)
+        v_c = jnp.full((H, Wv), oob, jnp.int32)
+        for dd in range(mindisp - 1, maxD + 1):
+            # valid column x_v sits at full-frame x = x_v + minX1
+            sh = d2p[:, padl + minX1 - dd : padl + minX1 - dd + Wv]
+            v_f = jnp.where(d_f == dd, sh, v_f)
+            v_c = jnp.where(d_c == dd, sh, v_c)
 
-        ok_f, v_f = lookup(d_f)
-        ok_c, v_c = lookup(d_c)
-        fail_f = ok_f & (v_f >= mindisp) & (jnp.abs(v_f - d_f) > params.disp12_max_diff)
-        fail_c = ok_c & (v_c >= mindisp) & (jnp.abs(v_c - d_c) > params.disp12_max_diff)
+        fail_f = (v_f >= mindisp) & (jnp.abs(v_f - d_f) > params.disp12_max_diff)
+        fail_c = (v_c >= mindisp) & (jnp.abs(v_c - d_c) > params.disp12_max_diff)
         valid = valid & ~(fail_f & fail_c)
 
     invalid_val = float(mindisp - 1)

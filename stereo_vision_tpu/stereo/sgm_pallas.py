@@ -82,8 +82,8 @@ def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, 
     r = pl.program_id(0)
 
     for j in range(_VR):
-        c_dn = c_dn_ref[j]
-        c_up = c_up_ref[_VR - 1 - j]
+        c_dn = c_dn_ref[j].astype(jnp.float32)
+        c_up = c_up_ref[_VR - 1 - j].astype(jnp.float32)
         first = (r == 0) & (j == 0)
 
         @pl.when(first)
@@ -94,8 +94,8 @@ def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, 
                 if with_diag:
                     L_ref[k + 1] = c
                     L_ref[k + 2] = c
-            s_dn_ref[j] = c_dn * (3 if with_diag else 1)
-            s_up_ref[_VR - 1 - j] = c_up * (3 if with_diag else 1)
+            s_dn_ref[j] = (c_dn * (3 if with_diag else 1)).astype(s_dn_ref.dtype)
+            s_up_ref[_VR - 1 - j] = (c_up * (3 if with_diag else 1)).astype(s_up_ref.dtype)
 
         @pl.when(jnp.logical_not(first))
         def _step(c_dn=c_dn, c_up=c_up, j=j):
@@ -117,9 +117,9 @@ def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, 
                 else:
                     out = Lv2
                 if k == 0:
-                    s_dn_ref[j] = out
+                    s_dn_ref[j] = out.astype(s_dn_ref.dtype)
                 else:
-                    s_up_ref[_VR - 1 - j] = out
+                    s_up_ref[_VR - 1 - j] = out.astype(s_up_ref.dtype)
 
 
 _BW = 8  # horizontal block width (TPU sublane granularity)
@@ -137,19 +137,19 @@ def _horizontal_kernel(P1, P2, reverse, c_ref, s_ref, L_ref):
 
     for j in range(_BW):
         col = _BW - 1 - j if reverse else j
-        c = c_ref[:, col]
+        c = c_ref[:, col].astype(jnp.float32)
         first = (b == 0) & (j == 0)
 
         @pl.when(first)
         def _init(c=c, col=col):
             L_ref[:] = c
-            s_ref[:, col] = c
+            s_ref[:, col] = c.astype(s_ref.dtype)
 
         @pl.when(jnp.logical_not(first))
         def _step(c=c, col=col):
             L2 = _update(c, L_ref[:], _min_d(L_ref[:]), P1, P2)
             L_ref[:] = L2
-            s_ref[:, col] = L2
+            s_ref[:, col] = L2.astype(s_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("P1", "P2", "num_paths", "interpret"))
@@ -170,7 +170,9 @@ def aggregate_8_pallas(
     # (L=0, min=0), which is exactly the SGM border rule, so padding is
     # semantics-preserving for every direction (incl. diagonal shift-ins).
     W = ((W0 + _BW - 1) // _BW) * _BW
-    cf = C.astype(jnp.float32)
+    # int16 input stays int16 through padding and the kernel block DMA
+    # (halving HBM traffic for C); kernels cast to f32 after load.
+    cf = C if C.dtype == jnp.int16 else C.astype(jnp.float32)
     if W != W0:
         cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
 
@@ -305,7 +307,12 @@ def _wta4_kernel(uniq_ratio, a_ref, b_ref, c_ref, d_ref,
                  mins_ref, best_ref, sm_ref, s0_ref, sp_ref, uok_ref):
     """WTA stats over the IN-KERNEL sum of the four direction volumes —
     the aggregated volume S is never materialized in HBM."""
-    S = a_ref[...] + b_ref[...] + c_ref[...] + d_ref[...]
+    S = (
+        a_ref[...].astype(jnp.float32)
+        + b_ref[...].astype(jnp.float32)
+        + c_ref[...].astype(jnp.float32)
+        + d_ref[...].astype(jnp.float32)
+    )
     R, W, D = S.shape
     minS = jnp.min(S, axis=-1, keepdims=True)
     ds = jax.lax.broadcasted_iota(jnp.int32, (R, W, D), 2).astype(jnp.float32)
@@ -325,16 +332,25 @@ def _wta4_kernel(uniq_ratio, a_ref, b_ref, c_ref, d_ref,
     uok_ref[...] = uok[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("P1", "P2", "uniq_ratio", "num_paths", "interpret"))
+@functools.partial(jax.jit, static_argnames=("P1", "P2", "uniq_ratio", "num_paths", "cost_bound", "interpret"))
 def sgm_reduce_pallas(
     C: jnp.ndarray, P1: int, P2: int, uniq_ratio: int, num_paths: int = 8,
-    interpret: bool = False,
+    cost_bound: int | None = None, interpret: bool = False,
 ):
     """Aggregation + WTA in one flow: the four direction partial volumes
-    feed the fused WTA kernel directly (S never hits HBM as int32)."""
+    feed the fused WTA kernel directly (S never hits HBM as int32).
+
+    cost_bound: static upper bound on the windowed cost values. When the
+    3-direction set sum 3 * (cost_bound + P2) fits int16, the direction
+    volumes are stored int16, halving their HBM writes + WTA reads.
+    """
     H, W0, D = C.shape
+    use_i16 = cost_bound is not None and 3 * (cost_bound + P2) < (1 << 15)
+    vdt = jnp.int16 if use_i16 else jnp.float32
     W = ((W0 + _BW - 1) // _BW) * _BW
-    cf = C.astype(jnp.float32)
+    # int16 input stays int16 through padding and the kernel block DMA
+    # (halving HBM traffic for C); kernels cast to f32 after load.
+    cf = C if C.dtype == jnp.int16 else C.astype(jnp.float32)
     if W != W0:
         cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
 
@@ -357,7 +373,7 @@ def sgm_reduce_pallas(
             pl.BlockSpec((_VR, W, D), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_VR, W, D), lambda r: (nV - 1 - r, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((Hp, W, D), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W, D), vdt)] * 2,
         scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=interpret,
@@ -379,7 +395,7 @@ def sgm_reduce_pallas(
             grid=(nB,),
             in_specs=[pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((H, W, D), vdt),
             scratch_shapes=[pltpu.VMEM((H, D), jnp.float32)],
             interpret=interpret,
         )(cf)
