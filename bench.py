@@ -1,7 +1,8 @@
 """Headline benchmark: SGBM disparity throughput (Mpx/s/chip, D=128).
 
-Per /root/repo/BASELINE.json: StereoSGBM 8-path on a 1280x720 pair,
-D=128 with subpixel + uniqueness + LR check, target >= 500 Mpx/s/chip.
+Per /root/repo/BASELINE.json config #2: StereoSGBM 8-path on a 1280x720
+pair, D=128 with subpixel + uniqueness + LR check + SPECKLE FILTER
+(window 100, range 2), target >= 500 Mpx/s/chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Timing method: N chained runs inside one jit dispatch (each iteration's
@@ -29,7 +30,8 @@ def main() -> None:
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
 
     params = StereoSGBMParams(
-        num_disparities=D, block_size=5, uniqueness_ratio=10, disp12_max_diff=1
+        num_disparities=D, block_size=5, uniqueness_ratio=10, disp12_max_diff=1,
+        speckle_window_size=100, speckle_range=2,
     )
 
     rng = np.random.default_rng(0)
