@@ -210,6 +210,73 @@ def fuse_pose(
     return pose
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conf_threshold",
+        "blend_alpha",
+        "smooth_window",
+        "temporal_filter_weight",
+    ),
+)
+def fuse_pose_sequence(
+    left_landmarks: jnp.ndarray,
+    right_landmarks: jnp.ndarray,
+    calib_arrays,
+    conf_threshold: float = 0.65,
+    blend_alpha: float = 0.7,
+    smooth_window: int = 5,
+    temporal_filter_weight: float = 0.7,
+) -> jnp.ndarray:
+    """The full streaming tracker over a whole sequence as ONE device program.
+
+    Time is the batch axis (reference hot loop: 3dpose.py:358-462 runs
+    per-frame on host); the only true recurrences — the EMA landmark
+    filter and the rolling pose history — ride a single ``lax.scan``.
+    Bit-identical to running StereoPoseTracker.process_frame per frame
+    (tested), without T host->device round-trips.
+
+    Args:
+      left_landmarks, right_landmarks: (T, 33, 4) [x, y, z, visibility].
+
+    Returns:
+      (T, 13, 3) fused poses in mm, NaN for unrecoverable joints.
+    """
+    lk_all = extract_key_joints(jnp.asarray(left_landmarks))
+    rk_all = extract_key_joints(jnp.asarray(right_landmarks))
+    dt = lk_all.dtype
+    w = temporal_filter_weight
+
+    def step(carry, inp):
+        lprev, rprev, have_prev, hist = carry
+        lk, rk = inp
+        lk = jnp.where(have_prev, w * lk + (1.0 - w) * lprev, lk)
+        rk = jnp.where(have_prev, w * rk + (1.0 - w) * rprev, rk)
+        pose = fuse_pose(
+            lk[:, :2],
+            lk[:, 3],
+            rk[:, :2],
+            rk[:, 3],
+            hist,
+            calib_arrays,
+            conf_threshold=conf_threshold,
+            blend_alpha=blend_alpha,
+        )
+        # Rolling history, most recent LAST; NaN rows read as absent, so
+        # the fixed-size NaN-padded buffer matches the growing host list.
+        hist = jnp.concatenate([hist[1:], pose[None].astype(hist.dtype)], axis=0)
+        return (lk, rk, jnp.asarray(True), hist), pose
+
+    init = (
+        jnp.zeros_like(lk_all[0]),
+        jnp.zeros_like(rk_all[0]),
+        jnp.asarray(False),
+        jnp.full((smooth_window, NUM_JOINTS, 3), jnp.nan, dt),
+    )
+    _, poses = jax.lax.scan(step, init, (lk_all, rk_all))
+    return poses
+
+
 class StereoPoseTracker:
     """Stateful streaming tracker mirroring StereoPoseEstimator
     (3dpose.py:20-110 defaults: smooth_window=5, confidence 0.65,

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import numpy as np
 
 from stereo_vision_tpu.track.angles import pose_angles
-from stereo_vision_tpu.track.fusion import StereoPoseTracker, StereoRig
+from stereo_vision_tpu.track.fusion import StereoRig, fuse_pose_sequence
 from stereo_vision_tpu.track.joints import ANGLE_NAMES, JOINT_NAMES
 from stereo_vision_tpu.track.smoothing import MotionSmoother
 
@@ -50,16 +50,23 @@ def run_pose_workflow(
         (3dpose.py:917-1023): pose pickles (pre- and post-smoothing),
         angle CSV, stats JSON, angle/trajectory plots.
     """
+    import jax.numpy as jnp
+
     T = left_landmarks.shape[0]
-    tracker = StereoPoseTracker(rig, conf_threshold=conf_threshold)
-    poses = np.stack(
-        [tracker.process_frame(left_landmarks[t], right_landmarks[t]) for t in range(T)]
+    # Whole sequence fused as ONE device program (lax.scan over T) — the
+    # per-frame host loop is kept only for true streaming
+    # (StereoPoseTracker.process_frame), reference hot loop 3dpose.py:358-462.
+    poses = np.asarray(
+        fuse_pose_sequence(
+            jnp.asarray(left_landmarks, jnp.float64),
+            jnp.asarray(right_landmarks, jnp.float64),
+            rig.as_arrays(),
+            conf_threshold=conf_threshold,
+        )
     )
 
     smoother = MotionSmoother(smoothing_preset)
     smoothed = smoother.smooth_pose_sequence(poses)
-
-    import jax.numpy as jnp
 
     ang_raw = np.asarray(pose_angles(jnp.asarray(poses)))
     ang_sm = np.asarray(pose_angles(jnp.asarray(smoothed)))

@@ -246,6 +246,49 @@ class TestFusion:
         )
 
 
+class TestFusedSequence:
+    def test_scan_matches_frame_loop_500_frames(self):
+        """fuse_pose_sequence (one lax.scan program) must reproduce the
+        streaming StereoPoseTracker loop exactly, recovery paths included."""
+        from stereo_vision_tpu.track.fusion import fuse_pose_sequence
+        from stereo_vision_tpu.track.joints import MEDIAPIPE_INDICES
+
+        K = np.array([[1000.0, 0, 640], [0, 1000.0, 360], [0, 0, 1]])
+        rig = StereoRig(
+            K1=K, d1=np.zeros(8), K2=K, d2=np.zeros(8),
+            R=np.eye(3), T=np.array([-500.0, 0, 0]),
+        )
+        T = 500
+        rng = np.random.default_rng(3)
+        lm_l = np.zeros((T, 33, 4))
+        lm_r = np.zeros((T, 33, 4))
+        # Smooth wandering 2D tracks + visibility dropouts that exercise
+        # the historical-depth and anatomy recovery branches.
+        base = np.cumsum(rng.normal(0, 2.0, (T, 33, 2)), axis=0) + [640, 360]
+        lm_l[:, :, :2] = base
+        lm_r[:, :, :2] = base - [40.0, 0.0]
+        lm_l[:, :, 3] = np.where(rng.random((T, 33)) < 0.15, 0.1, 0.99)
+        lm_r[:, :, 3] = np.where(rng.random((T, 33)) < 0.15, 0.1, 0.99)
+
+        tracker = StereoPoseTracker(rig)
+        loop = np.stack([tracker.process_frame(lm_l[t], lm_r[t]) for t in range(T)])
+
+        import jax.numpy as jnp
+
+        scanned = np.asarray(
+            fuse_pose_sequence(
+                jnp.asarray(lm_l, jnp.float64),
+                jnp.asarray(lm_r, jnp.float64),
+                rig.as_arrays(),
+            )
+        )
+        assert scanned.shape == (T, 13, 3)
+        # NaN patterns must agree exactly; values to float64 fusion noise
+        # (XLA associates/contracts FMAs differently inside scan).
+        np.testing.assert_array_equal(np.isnan(scanned), np.isnan(loop))
+        np.testing.assert_allclose(scanned, loop, rtol=1e-9, atol=1e-8)
+
+
 class TestValidators:
     def test_baseline(self):
         r = validate_baseline(np.array([-500.0, 0, 0]), 505.0, tolerance_percent=2.0)
