@@ -79,3 +79,59 @@ def test_video_overlays(tmp_path, rng):
     centers[2] = np.nan  # missed detection
     p2 = render_ball_video(frames, centers, np.full(T, 5.0), tmp_path / "ball.mp4", fps=10)
     assert video_info(p2)["frame_count"] == T
+
+
+def test_pose_comparison_video(tmp_path, rng):
+    from stereo_vision_tpu.pipeline.animations import create_pose_comparison_video
+    from stereo_vision_tpu.io.video import video_info
+
+    T = 12
+    raw = rng.normal(0, 200, (T, 13, 3)).cumsum(axis=0) / 3 + [0, 0, 2000]
+    sm = raw + rng.normal(0, 2, raw.shape)
+    raw[3, 5] = np.nan  # gap joint
+    p = create_pose_comparison_video(raw, sm, tmp_path / "cmp.mp4", fps=5, duration=1.0)
+    assert video_info(p)["frame_count"] == 5
+
+
+def test_rolling_animation(tmp_path, rng):
+    from stereo_vision_tpu.pipeline.animations import create_rolling_animation
+    from stereo_vision_tpu.io.video import video_info
+
+    T = 8
+    t = np.arange(T) / 20.0
+    lx = np.stack([100 + 30 * t * 20, 200 + 5 * t * 20], 1)
+    rx = lx - [40.0, 0.0]
+    lx[4] = np.nan  # missed frame
+    p = create_rolling_animation(lx, rx, t, tmp_path / "roll.mp4", fps=10)
+    assert video_info(p)["frame_count"] == T
+
+
+def test_sync_visualization_and_report(tmp_path, rng):
+    from stereo_vision_tpu.pipeline.animations import (
+        save_sync_visualizations,
+        write_sync_report,
+    )
+
+    T, H, W = 4, 48, 64
+    lf = rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8)
+    rf = rng.integers(0, 255, (T, H // 2, W // 2, 3)).astype(np.uint8)  # mixed size
+    pairs = [(i, i + 2) for i in range(T)]
+    paths = save_sync_visualizations(lf, rf, pairs, tmp_path / "sync", sample_count=3)
+    assert len(paths) == 3 and all(p.stat().st_size > 500 for p in paths)
+
+    rep = write_sync_report(
+        {
+            "frame_offset": 2,
+            "left_flash_frame": 31,
+            "right_flash_frame": 33,
+            "left_fps": 30.0,
+            "right_fps": 30.0,
+            "left_frame_count": 900,
+            "right_frame_count": 910,
+            "left_video": "left.mp4",
+            "right_video": "right.mp4",
+        },
+        tmp_path / "sync_report.txt",
+    )
+    text = rep.read_text()
+    assert "right_frame = X + 2" in text and "left_frame = Y - 2" in text
