@@ -52,11 +52,13 @@ class StereoSGBMParams(NamedTuple):
 
     @property
     def P1(self) -> int:
-        return self.p1 if self.p1 else 8 * self.block_size * self.block_size
+        # `is not None`: an explicit 0 must stay 0 (pure WTA), not fall
+        # back to the default — cv2 honors P1=0.
+        return self.p1 if self.p1 is not None else 8 * self.block_size * self.block_size
 
     @property
     def P2(self) -> int:
-        return self.p2 if self.p2 else 32 * self.block_size * self.block_size
+        return self.p2 if self.p2 is not None else 32 * self.block_size * self.block_size
 
     @property
     def ftzero(self) -> int:
