@@ -1,0 +1,276 @@
+"""In-repo pretrained detector weights: training entry points + loaders.
+
+The reference ships pretrained ultralytics YOLOv8 (ball_drop.py:817-823)
+and MediaPipe Pose (3dpose.py:330-341). This environment has no network
+egress, so the framework trains its own detectors on rendered synthetic
+scenes (stereo_vision_tpu.synth) and commits the weights, making the
+video -> detect -> triangulate pipelines runnable with zero external
+downloads.
+
+Train (one-off, any backend — minutes on TPU/CPU):
+    python -m stereo_vision_tpu.models.pretrained ball
+    python -m stereo_vision_tpu.models.pretrained pose
+
+Load at inference:
+    model, variables = load_ball_detector()
+    model, variables = load_pose_net()
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+WEIGHTS_DIR = Path(__file__).parent / "weights"
+BALL_WEIGHTS = WEIGHTS_DIR / "ball_yolov8n.npz"
+POSE_WEIGHTS = WEIGHTS_DIR / "posenet_w24.npz"
+
+BALL_IMG_HW = (128, 128)
+POSE_IMG_HW = (128, 128)
+POSE_WIDTH = 24
+
+
+def save_tree(path: Path, variables: dict[str, Any]) -> None:
+    """Save a flax variable tree as ordered arrays (structure comes from a
+    fresh model init at load time, so no pickle/custom format needed)."""
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(variables)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, *[np.asarray(l) for l in leaves])
+
+
+def load_tree(path: Path, like: dict[str, Any]) -> dict[str, Any]:
+    """Load arrays saved by save_tree into the structure of ``like``."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    with np.load(path) as z:
+        arrs = [z[f"arr_{i}"] for i in range(len(z.files))]
+    if len(arrs) != len(leaves):
+        raise ValueError(
+            f"{path}: {len(arrs)} arrays vs {len(leaves)} leaves — "
+            "weights do not match this model architecture"
+        )
+    for a, l in zip(arrs, leaves):
+        if tuple(a.shape) != tuple(np.shape(l)):
+            raise ValueError(f"{path}: shape mismatch {a.shape} vs {np.shape(l)}")
+    return jax.tree_util.tree_unflatten(treedef, arrs)
+
+
+def _ball_model():
+    from stereo_vision_tpu.models.yolov8 import YOLOv8
+
+    return YOLOv8(num_classes=1, variant="n")
+
+
+def _pose_model():
+    from stereo_vision_tpu.models.pose import PoseNet
+
+    return PoseNet(width=POSE_WIDTH)
+
+
+def load_ball_detector():
+    """(model, variables) for the in-repo ball detector."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _ball_model()
+    H, W = BALL_IMG_HW
+    like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False)
+    return model, load_tree(BALL_WEIGHTS, like)
+
+
+def load_pose_net():
+    """(model, variables) for the in-repo 33-landmark pose net."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _pose_model()
+    H, W = POSE_IMG_HW
+    like = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False)
+    return model, load_tree(POSE_WEIGHTS, like)
+
+
+def _make_bn_train_step(model, loss_of_out, tx):
+    """Jitted step with mutable batch_stats."""
+    import jax
+
+    @jax.jit
+    def step(params, bstats, opt_state, *batch):
+        def objective(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bstats},
+                batch[0],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return loss_of_out(out, *batch[1:]), upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    return step
+
+
+def train_ball_detector(
+    steps: int = 800,
+    batch: int = 16,
+    seed: int = 0,
+    out_path: Path = BALL_WEIGHTS,
+    log_every: int = 50,
+) -> dict:
+    """Train the single-class YOLOv8-n on rendered ball scenes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stereo_vision_tpu.models.yolov8 import detection_loss
+    from stereo_vision_tpu.synth import ball_training_batch
+
+    H, W = BALL_IMG_HW
+    model = _ball_model()
+    rng = np.random.default_rng(seed)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, 3)), train=False)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    warm = min(50, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, 2e-3, warm, max(steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    def loss_of_out(raw, boxes, classes, valid):
+        return detection_loss(raw, boxes, classes, valid, (H, W), 1)
+
+    step = _make_bn_train_step(model, loss_of_out, tx)
+    last = float("nan")
+    for i in range(steps):
+        imgs, boxes, classes, valid = ball_training_batch(rng, batch, H, W)
+        params, bstats, opt_state, loss = step(
+            params, bstats, opt_state,
+            jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(valid),
+        )
+        if i % log_every == 0 or i == steps - 1:
+            last = float(loss)
+            print(f"ball step {i}: loss {last:.4f}", flush=True)
+    save_tree(out_path, {"params": params, "batch_stats": bstats})
+    return {"final_loss": last, "path": str(out_path)}
+
+
+def train_pose_net(
+    steps: int = 1000,
+    batch: int = 16,
+    seed: int = 0,
+    out_path: Path = POSE_WEIGHTS,
+    log_every: int = 50,
+) -> dict:
+    """Train the 33-landmark PoseNet on rendered stick figures."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stereo_vision_tpu.models.pose import pose_loss
+    from stereo_vision_tpu.synth import pose_training_batch
+
+    H, W = POSE_IMG_HW
+    model = _pose_model()
+    rng = np.random.default_rng(seed)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, 3)), train=False)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    warm = min(50, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, 2e-3, warm, max(steps, warm + 1))
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    step = _make_bn_train_step(model, lambda out, gt: pose_loss(out, gt), tx)
+    last = float("nan")
+    for i in range(steps):
+        imgs, gt = pose_training_batch(rng, batch, H, W)
+        params, bstats, opt_state, loss = step(
+            params, bstats, opt_state, jnp.asarray(imgs), jnp.asarray(gt)
+        )
+        if i % log_every == 0 or i == steps - 1:
+            last = float(loss)
+            print(f"pose step {i}: loss {last:.4f}", flush=True)
+    save_tree(out_path, {"params": params, "batch_stats": bstats})
+    return {"final_loss": last, "path": str(out_path)}
+
+
+def detect_balls_in_frames(frames: np.ndarray, score_threshold: float = 0.3):
+    """(T, H, W, 3) uint8 frames -> list[BallDetection | None].
+
+    Resizes to the training resolution, runs the batched detector, maps
+    the best box back to frame pixels.
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    from stereo_vision_tpu.detect.ball import BallDetection
+    from stereo_vision_tpu.models.yolov8 import detect
+
+    model, variables = load_ball_detector()
+    Ht, Wt = BALL_IMG_HW
+    T, H, W = frames.shape[:3]
+    small = np.stack([cv2.resize(f, (Wt, Ht)) for f in frames]).astype(np.float32) / 255.0
+    dets = detect(model, variables, jnp.asarray(small), score_threshold=score_threshold, max_det=8)
+    boxes = np.asarray(dets.boxes)
+    scores = np.asarray(dets.scores)
+    valid = np.asarray(dets.valid)
+    out: list = []
+    sx, sy = W / Wt, H / Ht
+    for t in range(T):
+        ok = valid[t]
+        if not ok.any():
+            out.append(None)
+            continue
+        k = int(np.argmax(np.where(ok, scores[t], -1)))
+        x1, y1, x2, y2 = boxes[t, k]
+        out.append(
+            BallDetection(
+                cx=float((x1 + x2) / 2 * sx),
+                cy=float((y1 + y2) / 2 * sy),
+                radius=float(max(x2 - x1, y2 - y1) / 4 * (sx + sy)),
+                confidence=float(scores[t, k]),
+            )
+        )
+    return out
+
+
+def pose_landmarks_in_frames(frames: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) uint8 -> (T, 33, 4) landmarks in PIXELS of the input
+    frames (x, y, z, visibility) — the MediaPipe interface the trackers eat."""
+    import cv2
+    import jax.numpy as jnp
+
+    model, variables = load_pose_net()
+    Ht, Wt = POSE_IMG_HW
+    T, H, W = frames.shape[:3]
+    small = np.stack([cv2.resize(f, (Wt, Ht)) for f in frames]).astype(np.float32) / 255.0
+    lm = np.asarray(model.apply(variables, jnp.asarray(small), train=False))
+    lm[:, :, 0] *= W
+    lm[:, :, 1] *= H
+    return lm
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["ball", "pose", "both"])
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args(argv)
+    if args.which in ("ball", "both"):
+        print(train_ball_detector(**({"steps": args.steps} if args.steps else {})))
+    if args.which in ("pose", "both"):
+        print(train_pose_net(**({"steps": args.steps} if args.steps else {})))
+
+
+if __name__ == "__main__":
+    main()
