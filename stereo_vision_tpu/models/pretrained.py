@@ -218,25 +218,31 @@ def detect_balls_in_frames(frames: np.ndarray, score_threshold: float = 0.3):
     model, variables = load_ball_detector()
     Ht, Wt = BALL_IMG_HW
     T, H, W = frames.shape[:3]
-    small = np.stack([cv2.resize(f, (Wt, Ht)) for f in frames]).astype(np.float32) / 255.0
+    # Letterbox (aspect-preserving) resize: the detector is trained on
+    # circular balls; a plain resize would squash them into ellipses.
+    s = min(Wt / W, Ht / H)
+    Wr, Hr = int(round(W * s)), int(round(H * s))
+    small = np.full((T, Ht, Wt, 3), 114, np.float32)
+    for t in range(T):
+        small[t, :Hr, :Wr] = cv2.resize(frames[t], (Wr, Hr))
+    small /= 255.0
     dets = detect(model, variables, jnp.asarray(small), score_threshold=score_threshold, max_det=8)
     boxes = np.asarray(dets.boxes)
     scores = np.asarray(dets.scores)
     valid = np.asarray(dets.valid)
     out: list = []
-    sx, sy = W / Wt, H / Ht
     for t in range(T):
         ok = valid[t]
         if not ok.any():
             out.append(None)
             continue
         k = int(np.argmax(np.where(ok, scores[t], -1)))
-        x1, y1, x2, y2 = boxes[t, k]
+        x1, y1, x2, y2 = boxes[t, k] / s
         out.append(
             BallDetection(
-                cx=float((x1 + x2) / 2 * sx),
-                cy=float((y1 + y2) / 2 * sy),
-                radius=float(max(x2 - x1, y2 - y1) / 4 * (sx + sy)),
+                cx=float((x1 + x2) / 2),
+                cy=float((y1 + y2) / 2),
+                radius=float((x2 - x1) + (y2 - y1)) / 4,
                 confidence=float(scores[t, k]),
             )
         )
@@ -252,10 +258,17 @@ def pose_landmarks_in_frames(frames: np.ndarray) -> np.ndarray:
     model, variables = load_pose_net()
     Ht, Wt = POSE_IMG_HW
     T, H, W = frames.shape[:3]
-    small = np.stack([cv2.resize(f, (Wt, Ht)) for f in frames]).astype(np.float32) / 255.0
-    lm = np.asarray(model.apply(variables, jnp.asarray(small), train=False))
-    lm[:, :, 0] *= W
-    lm[:, :, 1] *= H
+    # Letterbox: the net is trained on undistorted (square-pixel) bodies;
+    # a plain resize would squash limb proportions out of distribution.
+    s = min(Wt / W, Ht / H)
+    Wr, Hr = int(round(W * s)), int(round(H * s))
+    small = np.full((T, Ht, Wt, 3), 114, np.float32)
+    for t in range(T):
+        small[t, :Hr, :Wr] = cv2.resize(frames[t], (Wr, Hr))
+    small /= 255.0
+    lm = np.array(model.apply(variables, jnp.asarray(small), train=False))
+    lm[:, :, 0] *= Wt / s
+    lm[:, :, 1] *= Ht / s
     return lm
 
 

@@ -48,6 +48,24 @@ def draw_ball(img: np.ndarray, cx: float, cy: float, r: float, color=(255, 120, 
     cv2.circle(img, hi, max(ri // 4, 1), (250, 250, 250), -1, lineType=cv2.LINE_AA)
 
 
+def _letterbox_aug(rng, img: np.ndarray, pts: np.ndarray, p: float = 0.7):
+    """Random letterbox: shrink content into the top-left corner, pad with
+    the inference-time gray (114). Mimics what pretrained.py does to
+    non-square video frames, so padded borders stay in-distribution.
+    Returns (image, pts * s) — ``pts`` is any (..., 2) pixel-coord array.
+    """
+    import cv2
+
+    if rng.uniform() > p:
+        return img, pts
+    H, W = img.shape[:2]
+    s = rng.uniform(0.55, 0.95)
+    Hr, Wr = max(int(round(H * s)), 8), max(int(round(W * s)), 8)
+    out = np.full_like(img, 114)
+    out[:Hr, :Wr] = cv2.resize(img, (Wr, Hr))
+    return out, pts * np.array([Wr / W, Hr / H])
+
+
 def ball_training_batch(
     rng: np.random.Generator, B: int, H: int = 128, W: int = 128
 ):
@@ -56,11 +74,13 @@ def ball_training_batch(
     Returns (images float32 [B,H,W,3] in [0,1], boxes (B,1,4) xyxy px,
     classes (B,1) int32 zeros, valid (B,1) bool).
     """
+    import cv2
+
     imgs = np.zeros((B, H, W, 3), np.float32)
     boxes = np.zeros((B, 1, 4), np.float32)
     for i in range(B):
         img = textured_background(rng, H, W)
-        r = rng.uniform(5, min(H, W) / 5)
+        r = rng.uniform(2.5, min(H, W) / 5)
         cx = rng.uniform(r + 1, W - r - 1)
         cy = rng.uniform(r + 1, H - r - 1)
         # orange-dominant with variation (the reference's balls are orange,
@@ -68,8 +88,17 @@ def ball_training_batch(
         base = np.array([255, 120, 30], np.float32)
         col = np.clip(base + rng.normal(0, 25, 3), 0, 255)
         draw_ball(img, cx, cy, r, col)
-        imgs[i] = img.astype(np.float32) / 255.0
-        boxes[i, 0] = (cx - r, cy - r, cx + r, cy + r)
+        corners = np.array([[cx - r, cy - r], [cx + r, cy + r]])
+        img, corners = _letterbox_aug(rng, img, corners)
+        # Match deployed conditions (video encode/decode + resize): mild
+        # blur and sensor-ish noise, so tiny softened balls stay in-dist.
+        fimg = img.astype(np.float32)
+        sigma = rng.uniform(0.0, 1.2)
+        if sigma > 0.05:
+            fimg = cv2.GaussianBlur(fimg, (0, 0), sigma)
+        fimg += rng.normal(0, rng.uniform(0, 6), fimg.shape).astype(np.float32)
+        imgs[i] = np.clip(fimg, 0, 255) / 255.0
+        boxes[i, 0] = corners.reshape(4)
     classes = np.zeros((B, 1), np.int32)
     valid = np.ones((B, 1), bool)
     return imgs, boxes, classes, valid
@@ -264,12 +293,20 @@ def pose_training_batch(
     P = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
     imgs = np.zeros((B, H, W, 3), np.float32)
     gt = np.zeros((B, 33, 4), np.float32)
+    import cv2
+
     for i in range(B):
         body = body33_from_key13(random_pose13(rng))
         uv = _project(P, body)
-        img = stick_figure_frame(H, W, uv, rng=rng)
-        imgs[i] = img.astype(np.float32) / 255.0
         inside = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        img = stick_figure_frame(H, W, uv, rng=rng)
+        img, uv = _letterbox_aug(rng, img, uv)
+        fimg = img.astype(np.float32)
+        sigma = rng.uniform(0.0, 1.2)
+        if sigma > 0.05:
+            fimg = cv2.GaussianBlur(fimg, (0, 0), sigma)
+        fimg += rng.normal(0, rng.uniform(0, 6), fimg.shape).astype(np.float32)
+        imgs[i] = np.clip(fimg, 0, 255) / 255.0
         gt[i, :, 0] = uv[:, 0] / W
         gt[i, :, 1] = uv[:, 1] / H
         gt[i, :, 3] = inside.astype(np.float32)

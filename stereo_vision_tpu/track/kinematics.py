@@ -49,22 +49,40 @@ def estimate_gravity(
     timestamps: np.ndarray,
     up_axis: int = 1,
     up_is_negative: bool = True,
+    method: str = "fit",
 ) -> tuple[float, float]:
-    """Mean vertical acceleration and % error vs 9800 mm/s².
+    """Vertical acceleration estimate and % error vs 9800 mm/s².
 
-    Mirrors ball_drop.py:458-485: velocities then accelerations by finite
-    differences over the (possibly non-uniform) timestamps, gravity =
-    mean(-a_y) (y grows downward in image-aligned camera frames).
+    method="fd" mirrors ball_drop.py:458-485 exactly: velocities then
+    accelerations by finite differences, gravity = mean(-a_y). The mean
+    of second differences telescopes to the 4 endpoint samples, so with
+    detection noise sigma at frame rate f its error is ~2*sqrt(2)*sigma*f/T
+    — at 240 fps and 1 px noise that exceeds g itself.
+
+    method="fit" (default) is the numerically sound estimator the
+    framework uses: least-squares quadratic fit of y(t), whose gravity
+    std is ~sqrt(720)*sigma/(sqrt(N)*T^2) — two orders of magnitude
+    tighter on the same data. Both honor the y-grows-downward convention.
 
     Returns:
       (gravity_mm_s2, error_percent).
     """
     p = jnp.asarray(positions, jnp.float64)
     t = jnp.asarray(timestamps, jnp.float64)
-    v = finite_difference(p, t)
-    a = finite_difference(v, t[1:])
-    g_series = -a[:, up_axis] if up_is_negative else a[:, up_axis]
-    g = float(jnp.mean(g_series))
+    if method == "fit":
+        y = p[:, up_axis]
+        ts = t - t[0]
+        A = jnp.stack([ts * ts, ts, jnp.ones_like(ts)], axis=1)
+        coef, *_ = jnp.linalg.lstsq(A, y)
+        a_y = 2.0 * coef[0]
+        # up_is_negative: the axis grows DOWNWARD (image/camera frames), so
+        # a free fall has a_y = +g and gravity is reported as +a_y.
+        g = float(a_y if up_is_negative else -a_y)
+    else:
+        v = finite_difference(p, t)
+        a = finite_difference(v, t[1:])
+        g_series = a[:, up_axis] if up_is_negative else -a[:, up_axis]
+        g = float(jnp.mean(g_series))
     # Sign-robust error: the vertical axis orientation depends on the rig
     # (image frames are y-down; the reference's -a[1] convention flips sign
     # for y-up reconstructions) — the physics check is on the magnitude.

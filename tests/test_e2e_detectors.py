@@ -46,7 +46,8 @@ def test_ball_video_to_gravity(tmp_path):
     rig = _rig()
     fps = 240.0
     lf, rf, _, _, _ = render_ball_drop_stereo(
-        rig, T=120, fps=fps, H=240, W=320, hold_frames=25, seed=3
+        rig, T=120, fps=fps, H=240, W=320, hold_frames=25,
+        ball_radius_mm=80.0, seed=3,
     )
     lv = _roundtrip_video(lf, tmp_path / "left.mp4", fps)
     rv = _roundtrip_video(rf, tmp_path / "right.mp4", fps)
