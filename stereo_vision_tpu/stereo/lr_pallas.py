@@ -1,0 +1,149 @@
+"""Fused Pallas LR-consistency check for SGBM.
+
+The XLA formulation in stereo/sgbm.py runs two static-shift select chains
+(D steps building the projected right disparity, D+2 steps looking it up
+per left pixel). Each step is elementwise over an (H, W) map, so XLA
+streams ~2 GB of intermediates through HBM — ~1.8 ms of the 720p/D=128
+frame (device trace, docs/sgbm_roofline.md). This kernel runs both chains
+in VMEM in one pass: the image is processed in 128-row lane blocks laid
+out TRANSPOSED (x on sublanes, y on lanes), because Mosaic lowers
+arbitrary-offset sublane value slices but not lane-offset slices — the
+same layout rule as the cost kernel's shifted stacks (cost_pallas.py).
+
+Semantics identical to the XLA section (cv2's packed disp2 projection +
+floor/ceil lookup rule); tests assert exact mask equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SENTINEL = 1 << 30
+_OOB = -(1 << 10)
+
+
+def _lr_kernel(
+    W, Wv, ndisp, mindisp, minX1, max_diff,
+    pack_ref, best_ref, df_ref, dc_ref, fail_ref,
+):
+    """One 128-row lane block, transposed: refs are (sublanes=x, lanes=y).
+
+    pack_ref/best_ref: (W + maxD, 128) int32 full-frame-x arrays
+    (sentinel / -1 outside the valid region). df_ref/dc_ref: (Wv, 128)
+    floor/ceil disparity per valid left pixel. fail_ref out: (Wv, 128)
+    int32 1 where the cv2 LR rule invalidates the pixel.
+    """
+    maxD = mindisp + ndisp
+    pack = pack_ref[...]
+    best = best_ref[...]
+
+    # disp2[x2] = min-cost packed value among left pixels x2 + d whose WTA
+    # winner is exactly d (cv2's projection; min is lexicographic in
+    # (cost, d) thanks to the *2048 packing).
+    packed = jnp.full((W, 128), _SENTINEL, jnp.int32)
+    for d in range(ndisp):
+        off = d + mindisp
+        sl_p = pack[off : off + W]
+        sl_b = best[off : off + W]
+        packed = jnp.minimum(packed, jnp.where(sl_b == d, sl_p, _SENTINEL))
+    disp2 = jnp.where(
+        packed >= _SENTINEL, jnp.int32(_OOB), jnp.bitwise_and(packed, 2047)
+    )
+
+    # Lookup disp2[x - dd] for dd = floor/ceil(disp): shifted selects over
+    # the oob-padded row (out-of-range columns read _OOB and fail the
+    # v >= mindisp test, like the XLA path).
+    padl = maxD + 1
+    d2p = jnp.concatenate(
+        [
+            jnp.full((padl, 128), _OOB, jnp.int32),
+            disp2,
+            jnp.full((8, 128), _OOB, jnp.int32),
+        ],
+        axis=0,
+    )
+    d_f = df_ref[...]
+    d_c = dc_ref[...]
+    v_f = jnp.full((Wv, 128), _OOB, jnp.int32)
+    v_c = jnp.full((Wv, 128), _OOB, jnp.int32)
+    for dd in range(mindisp - 1, maxD + 1):
+        sh = d2p[padl + minX1 - dd : padl + minX1 - dd + Wv]
+        v_f = jnp.where(d_f == dd, sh, v_f)
+        v_c = jnp.where(d_c == dd, sh, v_c)
+
+    fail_f = (v_f >= mindisp) & (jnp.abs(v_f - d_f) > max_diff)
+    fail_c = (v_c >= mindisp) & (jnp.abs(v_c - d_c) > max_diff)
+    fail_ref[...] = (fail_f & fail_c).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "ndisp", "mindisp", "max_diff", "interpret"),
+)
+def lr_fail_pallas(
+    minS: jnp.ndarray,
+    best: jnp.ndarray,
+    d_f: jnp.ndarray,
+    d_c: jnp.ndarray,
+    W: int,
+    ndisp: int,
+    mindisp: int,
+    max_diff: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(H, Wv) LR-failure mask (True = invalidate), cv2 semantics.
+
+    Args:
+      minS, best: (H, Wv) int32 WTA cost/winner over the valid x range
+        (full-frame x = valid x + minX1, minX1 = mindisp + ndisp).
+      d_f, d_c: (H, Wv) int32 floor/ceil of the subpixel disparity.
+      W: full frame width.
+    """
+    H, Wv = minS.shape
+    maxD = mindisp + ndisp
+    minX1 = max(maxD, 0)
+    assert ndisp + abs(mindisp) < (1 << 11), "disparity exceeds pack field"
+    assert mindisp >= 0
+
+    pack = minS * 2048 + (best + mindisp)
+    pack_full = jnp.full((H, W + maxD), _SENTINEL, jnp.int32)
+    pack_full = jax.lax.dynamic_update_slice(pack_full, pack, (0, minX1))
+    best_full = jnp.full((H, W + maxD), -1, jnp.int32)
+    best_full = jax.lax.dynamic_update_slice(best_full, best, (0, minX1))
+
+    Hp = ((H + 127) // 128) * 128
+    padh = lambda a, fill: jnp.pad(a, ((0, Hp - H), (0, 0)), constant_values=fill)
+    # Transpose to (x, y): all in-kernel shifts become sublane slices.
+    packT = padh(pack_full, _SENTINEL).T
+    bestT = padh(best_full, -1).T
+    dfT = padh(d_f, 0).T
+    dcT = padh(d_c, 0).T
+    Wfull = W + maxD
+    if Wfull % 8:
+        extra = 8 - Wfull % 8
+        packT = jnp.pad(packT, ((0, extra), (0, 0)), constant_values=_SENTINEL)
+        bestT = jnp.pad(bestT, ((0, extra), (0, 0)), constant_values=-1)
+        Wfull += extra
+    Wvp = ((Wv + 7) // 8) * 8
+    if Wvp != Wv:
+        dfT = jnp.pad(dfT, ((0, Wvp - Wv), (0, 0)))
+        dcT = jnp.pad(dcT, ((0, Wvp - Wv), (0, 0)))
+
+    kern = functools.partial(
+        _lr_kernel, W, Wvp, ndisp, mindisp, minX1, int(max_diff)
+    )
+    spec = lambda w: pl.BlockSpec((w, 128), lambda j: (0, j), memory_space=pltpu.VMEM)
+    failT = pl.pallas_call(
+        kern,
+        grid=(Hp // 128,),
+        in_specs=[spec(Wfull), spec(Wfull), spec(Wvp), spec(Wvp)],
+        out_specs=spec(Wvp),
+        out_shape=jax.ShapeDtypeStruct((Wvp, Hp), jnp.int32),
+        interpret=interpret,
+    )(packT, bestT, dfT, dcT)
+    return failT[:Wv, :H].T.astype(bool)

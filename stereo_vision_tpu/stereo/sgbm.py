@@ -355,7 +355,17 @@ def stereo_sgbm(
     valid = unique_ok
 
     # LR consistency: project minS onto right-image coordinates.
-    if params.disp12_max_diff >= 0:
+    if params.disp12_max_diff >= 0 and backend == "pallas":
+        from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas
+
+        d_f = jnp.floor(disp).astype(jnp.int32)
+        d_c = jnp.ceil(disp).astype(jnp.int32)
+        fail = lr_fail_pallas(
+            minS.astype(jnp.int32), best.astype(jnp.int32), d_f, d_c,
+            W, ndisp, mindisp, params.disp12_max_diff,
+        )
+        valid = valid & ~fail
+    elif params.disp12_max_diff >= 0:
         # disp2[x2] = argmin-cost disparity among left pixels x = x2 + d
         # whose WTA winner is exactly d (cv2's packed projection). The
         # reference formulation is a scatter-min; scatters serialize on

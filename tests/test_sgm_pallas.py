@@ -1,6 +1,7 @@
 """Pallas SGM aggregation kernels vs the lax.scan reference (exact)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -49,11 +50,14 @@ def test_full_sgbm_pallas_backend_matches_scan(rng):
         import functools as ft
 
         import stereo_vision_tpu.stereo.cost_pallas as cp
+        import stereo_vision_tpu.stereo.lr_pallas as lp
 
         orig_red = sp.sgm_reduce_pallas
         orig_cost = cp.cost_volume_pallas
+        orig_lr = lp.lr_fail_pallas
         sp.sgm_reduce_pallas = ft.partial(orig_red.__wrapped__, interpret=True)
         cp.cost_volume_pallas = ft.partial(orig_cost.__wrapped__, interpret=True)
+        lp.lr_fail_pallas = ft.partial(orig_lr.__wrapped__, interpret=True)
         try:
             import stereo_vision_tpu.stereo.sgbm as sg
             mine = np.asarray(
@@ -62,7 +66,61 @@ def test_full_sgbm_pallas_backend_matches_scan(rng):
         finally:
             sp.sgm_reduce_pallas = orig_red
             cp.cost_volume_pallas = orig_cost
+            lp.lr_fail_pallas = orig_lr
         np.testing.assert_array_equal(mine, ref)
+
+
+def test_lr_fail_pallas_exact(rng):
+    """lr_fail_pallas (interpret) vs the XLA static-shift formulation."""
+    from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas
+
+    for (H, W, ndisp, mindisp, max_diff) in ((17, 80, 16, 0, 1), (40, 96, 32, 0, 0)):
+        maxD = mindisp + ndisp
+        minX1 = max(maxD, 0)
+        Wv = W - minX1
+        minS = jnp.asarray(rng.integers(0, 40000, (H, Wv)), jnp.int32)
+        best = jnp.asarray(rng.integers(0, ndisp, (H, Wv)), jnp.int32)
+        disp = best + jnp.asarray(
+            rng.integers(-8, 9, (H, Wv)), jnp.int32
+        ).astype(jnp.float32) / 16.0
+        d_f = jnp.floor(disp).astype(jnp.int32)
+        d_c = jnp.ceil(disp).astype(jnp.int32)
+
+        # XLA reference (mirrors stereo_sgbm's scan-backend section).
+        sentinel = jnp.int32(1 << 30)
+        pack = minS * 2048 + best + mindisp
+        pack_full = jnp.full((H, W + maxD), sentinel, jnp.int32)
+        pack_full = jax.lax.dynamic_update_slice(pack_full, pack, (0, minX1))
+        best_full = jnp.full((H, W + maxD), -1, jnp.int32)
+        best_full = jax.lax.dynamic_update_slice(best_full, best, (0, minX1))
+        packed = jnp.full((H, W), sentinel, jnp.int32)
+        for d in range(ndisp):
+            off = d + mindisp
+            packed = jnp.minimum(
+                packed,
+                jnp.where(best_full[:, off:off + W] == d,
+                          pack_full[:, off:off + W], sentinel),
+            )
+        disp2 = jnp.where(packed >= sentinel, -(1 << 10), packed & 2047)
+        oob = jnp.int32(-(1 << 10))
+        padl = maxD + 1
+        d2p = jnp.concatenate(
+            [jnp.full((H, padl), oob, jnp.int32), disp2,
+             jnp.full((H, 1), oob, jnp.int32)], axis=1)
+        v_f = jnp.full((H, Wv), oob, jnp.int32)
+        v_c = jnp.full((H, Wv), oob, jnp.int32)
+        for dd in range(mindisp - 1, maxD + 1):
+            sh = d2p[:, padl + minX1 - dd : padl + minX1 - dd + Wv]
+            v_f = jnp.where(d_f == dd, sh, v_f)
+            v_c = jnp.where(d_c == dd, sh, v_c)
+        fail_f = (v_f >= mindisp) & (jnp.abs(v_f - d_f) > max_diff)
+        fail_c = (v_c >= mindisp) & (jnp.abs(v_c - d_c) > max_diff)
+        ref = np.asarray(fail_f & fail_c)
+
+        out = np.asarray(lr_fail_pallas.__wrapped__(
+            minS, best, d_f, d_c, W, ndisp, mindisp, max_diff, interpret=True
+        ))
+        np.testing.assert_array_equal(out, ref)
 
 
 def test_cost_volume_pallas_exact(rng):
