@@ -24,13 +24,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# bf16 shifted-stack workspace: values <= 255 are exact in bf16 and the
+# packing should halve the VPU cost of the 7 masked shifts, but the A/B
+# measured NO win (12.7/14.5 vs 13.0/13.0 ms on a noisy chip) — the
+# masked-shift loop is evidently not the limiter the instruction count
+# suggested. Kept available for future re-measurement; exactness is
+# asserted either way (tests/test_sgm_pallas.py::test_cost_volume_pallas_exact).
+_BF16_STACK = False
+
 
 def _build_shifted_ext(arr_row, W: int, D: int):
     """Like _build_shifted but returns (W+2, D): rows x = -1 .. W, so the
     caller can derive the shifted half-sample extrema from ONE stack via
-    sublane shifts (value slices take arbitrary offsets)."""
+    sublane shifts (value slices take arbitrary offsets).
+
+    The workspace is bfloat16: every input value is an integer <= 255,
+    exact in bf16 (8 mantissa bits cover ints to 256), and packing two
+    values per f32 lane halves the VPU cost of the 7 masked shifts — the
+    stack builds are ~half the kernel's instructions (docs/sgbm_roofline).
+    The caller converts the slices back to f32 before any arithmetic that
+    could exceed 256 (the half-sample sums reach 510)."""
     Wpd = arr_row.shape[0]
-    B = jnp.broadcast_to(arr_row[:, None], (Wpd, D))
+    # Minor-dim insertion is 32-bit-only on Mosaic: broadcast in f32 first,
+    # convert the 2-D workspace to bf16 after.
+    dt = jnp.bfloat16 if _BF16_STACK else jnp.float32
+    B = jnp.broadcast_to(arr_row[:, None], (Wpd, D)).astype(dt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Wpd, D), 1)
     shift = 1
     while shift < D:
@@ -39,7 +57,7 @@ def _build_shifted_ext(arr_row, W: int, D: int):
         take = (lane & shift) != 0
         B = jnp.where(take, shifted, B)
         shift *= 2
-    return B[D - 1 : D + W + 1, :]
+    return B[D - 1 : D + W + 1, :].astype(jnp.float32)
 
 
 def _shifted_with_extrema(arr_row, W: int, D: int):

@@ -34,6 +34,12 @@ from stereo_vision_tpu.stereo.postprocess import speckle_filter
 
 _BIG = jnp.int32(1 << 29)
 
+# LR check backend: the fused Pallas kernel (stereo/lr_pallas.py) is
+# bit-identical but measured NO faster than the XLA static-shift chains
+# (25.9 vs 25.5 ms full-frame A/B on v5e) — XLA fuses the select chains
+# better than the device trace suggested. Kept off; flip for A/B timing.
+_LR_PALLAS = False
+
 
 class StereoSGBMParams(NamedTuple):
     min_disparity: int = 0
@@ -355,7 +361,7 @@ def stereo_sgbm(
     valid = unique_ok
 
     # LR consistency: project minS onto right-image coordinates.
-    if params.disp12_max_diff >= 0 and backend == "pallas":
+    if params.disp12_max_diff >= 0 and backend == "pallas" and _LR_PALLAS:
         from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas
 
         d_f = jnp.floor(disp).astype(jnp.int32)
