@@ -126,6 +126,32 @@ def mask_circularity(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def largest_component_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Restrict a boolean mask to its largest 4-connected component.
+
+    The reference picks ``max(contours, key=cv2.contourArea)`` before
+    scoring circularity (roboflow_ball_detector.py:274-283); this is the
+    mask-space equivalent, reusing the stereo speckle filter's
+    pointer-jumping labeler so scattered same-color noise pixels cannot
+    dilute the moments of the actual blob.
+    """
+    from stereo_vision_tpu.stereo.postprocess import connected_component_labels
+
+    H, W = mask.shape
+    adjacency = []
+    pad = jnp.pad(mask, 1)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nb = pad[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+        adjacency.append(mask & nb)
+    labels = connected_component_labels(adjacency, mask)
+    counts = jnp.zeros(H * W, jnp.int32).at[labels.ravel()].add(
+        mask.ravel().astype(jnp.int32)
+    )
+    best = jnp.argmax(counts)
+    return mask & (labels == best)
+
+
+@jax.jit
 def min_enclosing_circle(mask: jnp.ndarray) -> jnp.ndarray:
     """(cx, cy, r) of a boolean mask: centroid + max distance to a set pixel
     (cv2.minEnclosingCircle stand-in, roboflow_ball_detector.py:274-283)."""

@@ -111,6 +111,24 @@ def otsu_binarize(img: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def binary_erode(mask: jnp.ndarray) -> jnp.ndarray:
+    """One round of 4-neighbor binary erosion (cv2.erode, cross kernel)."""
+    p = jnp.pad(mask, 1)
+    return (
+        p[1:-1, 1:-1] & p[:-2, 1:-1] & p[2:, 1:-1] & p[1:-1, :-2] & p[1:-1, 2:]
+    )
+
+
+@jax.jit
+def binary_dilate(mask: jnp.ndarray) -> jnp.ndarray:
+    """One round of 4-neighbor binary dilation (cv2.dilate, cross kernel)."""
+    p = jnp.pad(mask, 1)
+    return (
+        p[1:-1, 1:-1] | p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]
+    )
+
+
+@jax.jit
 def in_range(img: jnp.ndarray, lower: jnp.ndarray, upper: jnp.ndarray) -> jnp.ndarray:
     """cv2.inRange: per-channel lower <= img <= upper -> boolean mask."""
     f = img.astype(jnp.float32)
