@@ -332,6 +332,85 @@ def _wta4_kernel(uniq_ratio, a_ref, b_ref, c_ref, d_ref,
     uok_ref[...] = uok[..., 0]
 
 
+def _horizontal_rl_wta_kernel(
+    P1, P2, uniq_ratio,
+    c_ref, vdn_ref, vup_ref, slr_ref,
+    mins_ref, best_ref, sm_ref, s0_ref, sp_ref, uok_ref,
+    L_ref,
+):
+    """R->L horizontal scan FUSED with the 4-input WTA: once this last
+    direction's L is known for a column, the full aggregated cost
+    S = L + s_dn + s_up + s_lr is complete there, so the per-pixel stats
+    are computed in place and the fourth direction volume never exists in
+    HBM (saves its 425 MB write + the WTA's re-read at 720p/D=128).
+
+    Outputs are (nB, H, _BW) blocks — one stats tile per column block,
+    transposed/reshaped to (H, W) by the caller (a 2-D (H, W) output with
+    8-lane blocks violates the Mosaic lane-dim constraint; full-dim-8
+    lane blocks don't).
+    """
+    b = pl.program_id(0)
+    Hc, _, D = c_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Hc, _BW), 1)
+    z = jnp.zeros((Hc, _BW), jnp.float32)
+    acc_min, acc_best, acc_sm, acc_s0, acc_sp, acc_uok = z, z, z, z, z, z
+    ds = jax.lax.broadcasted_iota(jnp.int32, (Hc, D), 1).astype(jnp.float32)
+
+    for j in range(_BW):
+        col = _BW - 1 - j
+        c = c_ref[:, col].astype(jnp.float32)
+        first = (b == 0) & (j == 0)
+        Lp = L_ref[:]
+        # Value-level select instead of pl.when: on the first column the
+        # scratch is garbage, but where() is a select, so the garbage
+        # lane never escapes (costs one extra select on 1/1152 columns).
+        L2 = jnp.where(first, c, _update(c, Lp, _min_d(Lp), P1, P2))
+        L_ref[:] = L2
+
+        S = (
+            L2
+            + vdn_ref[:, col].astype(jnp.float32)
+            + vup_ref[:, col].astype(jnp.float32)
+            + slr_ref[:, col].astype(jnp.float32)
+        )
+        minS = jnp.min(S, axis=-1, keepdims=True)
+        best = jnp.min(jnp.where(S == minS, ds, jnp.float32(D)), axis=-1, keepdims=True)
+        if uniq_ratio > 0:
+            offend = (minS * (100.0 + uniq_ratio) > S * 100.0) & (jnp.abs(ds - best) > 1.0)
+            uok = 1.0 - jnp.max(offend.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            uok = jnp.ones_like(minS)
+        d0 = jnp.clip(best, 1.0, D - 2.0)
+        sel = lambda tgt: jnp.sum(jnp.where(ds == tgt, S, 0.0), axis=-1, keepdims=True)
+
+        hit = lane == col
+        acc_min = jnp.where(hit, minS, acc_min)
+        acc_best = jnp.where(hit, best, acc_best)
+        acc_sm = jnp.where(hit, sel(d0 - 1.0), acc_sm)
+        acc_s0 = jnp.where(hit, sel(d0), acc_s0)
+        acc_sp = jnp.where(hit, sel(d0 + 1.0), acc_sp)
+        acc_uok = jnp.where(hit, uok, acc_uok)
+
+    mins_ref[0] = acc_min
+    best_ref[0] = acc_best
+    sm_ref[0] = acc_sm
+    s0_ref[0] = acc_s0
+    sp_ref[0] = acc_sp
+    uok_ref[0] = acc_uok
+
+
+# Fuse the R->L scan with the WTA (see _horizontal_rl_wta_kernel). Module
+# flag for same-process A/B benchmarking; flip only with a measured win.
+# A/B 2026-08-16 (720p/D=128, v5e, chained-jit, two rounds): baseline
+# 19.69/19.45 ms vs fused 20.35/20.16 ms — the WTA's per-column compute
+# lands inside the sequential column loop, where the scan is issue-bound,
+# and costs more than the 850 MB of HBM traffic it saves (the separate
+# WTA kernel overlaps its DMA with compute; the fused one serializes the
+# stat math behind the carry chain). Exactness verified on-TPU either way
+# (tests/test_sgm_pallas.py::test_fused_rl_wta_exact).
+_FUSED_RL_WTA = False
+
+
 @functools.partial(jax.jit, static_argnames=("P1", "P2", "uniq_ratio", "num_paths", "cost_bound", "interpret"))
 def sgm_reduce_pallas(
     C: jnp.ndarray, P1: int, P2: int, uniq_ratio: int, num_paths: int = 8,
@@ -401,6 +480,36 @@ def sgm_reduce_pallas(
         )(cf)
 
     s_lr = horiz_call(False)
+
+    if _FUSED_RL_WTA:
+        # Stats blocks are (1, H8, _BW): the trailing dims need an
+        # 8-multiple sublane count, so pad rows with zero cost (rows are
+        # independent in horizontal scans; pad stats are sliced away).
+        H8 = ((H + 7) // 8) * 8
+        if H8 != H:
+            padr = lambda a: jnp.pad(a, ((0, H8 - H), (0, 0), (0, 0)))
+            cf, s_dn, s_up, s_lr = map(padr, (cf, s_dn, s_up, s_lr))
+        rev_map3 = lambda b: (0, nB - 1 - b, 0)
+        out_map = lambda b: (nB - 1 - b, 0, 0)
+        spec_in = pl.BlockSpec((H8, _BW, D), rev_map3, memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((1, H8, _BW), out_map, memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            functools.partial(
+                _horizontal_rl_wta_kernel, int(P1), int(P2), float(uniq_ratio)
+            ),
+            grid=(nB,),
+            in_specs=[spec_in] * 4,
+            out_specs=[spec_out] * 6,
+            out_shape=[jax.ShapeDtypeStruct((nB, H8, _BW), jnp.float32)] * 6,
+            scratch_shapes=[pltpu.VMEM((H8, D), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=44 * 1024 * 1024),
+            interpret=interpret,
+        )(cf, s_dn, s_up, s_lr)
+        # (nB, H8, _BW) -> (H, W) maps.
+        return tuple(
+            jnp.transpose(o, (1, 0, 2)).reshape(H8, W)[:H, :W0] for o in outs
+        )
+
     s_rl = horiz_call(True)
 
     rows, cols = 8, 128

@@ -185,3 +185,27 @@ def test_bm_pallas_matches_xla(rng):
     finally:
         bp.bm_stats_pallas = orig
     np.testing.assert_array_equal(mine, ref)
+
+
+@pytest.mark.parametrize("num_paths,uniq", [(8, 10), (4, 0)])
+def test_fused_rl_wta_exact(rng, num_paths, uniq):
+    """The fused R->L-scan+WTA kernel returns the same six stat maps as
+    the separate-scan + 4-input-WTA flow, bit for bit."""
+    import stereo_vision_tpu.stereo.sgm_pallas as sp
+
+    H, W, D = 37, 53, 16
+    C = jnp.asarray(rng.integers(0, 3000, (H, W, D)), jnp.int16)
+    prev = sp._FUSED_RL_WTA
+    try:
+        sp._FUSED_RL_WTA = False
+        ref = sp.sgm_reduce_pallas.__wrapped__(
+            C, 7, 86, uniq, num_paths=num_paths, interpret=True
+        )
+        sp._FUSED_RL_WTA = True
+        fused = sp.sgm_reduce_pallas.__wrapped__(
+            C, 7, 86, uniq, num_paths=num_paths, interpret=True
+        )
+    finally:
+        sp._FUSED_RL_WTA = prev
+    for name, a, b in zip(("min", "best", "sm", "s0", "sp", "uok"), ref, fused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
