@@ -11,6 +11,11 @@ entry point:
   python -m stereo_vision_tpu sync       --test-dir T --left L.mp4 --right R.mp4
   python -m stereo_vision_tpu disparity  --test-dir T --left L.png --right R.png
   python -m stereo_vision_tpu bench      [--matcher sgbm]
+  python -m stereo_vision_tpu pose       --test-dir T --left L.mp4 --right R.mp4
+  python -m stereo_vision_tpu ball-drop  --test-dir T --left L.mp4 --right R.mp4
+  python -m stereo_vision_tpu smooth     --input pose_3d_original.pkl
+  python -m stereo_vision_tpu animate    --raw A.pkl --smoothed B.pkl --out V.mp4
+  python -m stereo_vision_tpu analyze    --results-dir T/results
 
 The test-dir layout convention follows the reference
 (stereo_calibration/README.md:9-34): videos under <test-dir>/videos/,
@@ -212,6 +217,154 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _synced_rgb_frames(store, left_path, right_path, max_frames):
+    """Synchronized RGB frame stacks using the stored flash offset
+    (right = left + offset, sync/mapper convention; reference 3dpose.py
+    and ball_drop.py consume sync_data.pkl the same way)."""
+    from stereo_vision_tpu.io.video import extract_frames
+
+    sync = store.load_sync()
+    offset = int(sync["offset"]) if sync else 0
+    lf, _ = extract_frames(
+        left_path, start=max(0, -offset), interval=1, max_frames=max_frames
+    )
+    rf, _ = extract_frames(
+        right_path, start=max(0, offset), interval=1, max_frames=max_frames
+    )
+    T = min(len(lf), len(rf))
+    return lf[:T], rf[:T], offset
+
+
+def cmd_pose(args) -> int:
+    """Flagship stereo 3D pose workflow (reference 3dpose.py)."""
+    from stereo_vision_tpu.models.pretrained import pose_landmarks_in_frames
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.track.pose_pipeline import run_pose_workflow
+
+    store = ArtifactStore(args.test_dir)
+    try:
+        rig = store.load_rig()
+    except FileNotFoundError:
+        print("no calibration artifacts; run intrinsic+extrinsic first", file=sys.stderr)
+        return 2
+    lf, rf, offset = _synced_rgb_frames(store, args.left, args.right, args.max_frames)
+    if len(lf) == 0:
+        print("no frames decoded", file=sys.stderr)
+        return 2
+    ll = pose_landmarks_in_frames(lf)
+    rl = pose_landmarks_in_frames(rf)
+    out = Path(args.test_dir) / "results" / "pose"
+    res = run_pose_workflow(
+        rig, ll, rl, smoothing_preset=args.preset, out_dir=out, fps=args.fps
+    )
+    print(
+        json.dumps(
+            {
+                "stage": "pose",
+                "frames": int(len(lf)),
+                "sync_offset": offset,
+                "valid_pose_fraction": float(
+                    np.isfinite(res.poses_smoothed).all(-1).mean()
+                ),
+                "smoothing_stats": res.smoothing_stats,
+                "output": str(out),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_ball_drop(args) -> int:
+    """Stereo ball-drop physics validation (reference ball_drop.py)."""
+    from stereo_vision_tpu.models.pretrained import detect_balls_in_frames
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.track.ball import analyze_ball_drop, drop_report
+
+    store = ArtifactStore(args.test_dir)
+    try:
+        rig = store.load_rig()
+    except FileNotFoundError:
+        print("no calibration artifacts; run intrinsic+extrinsic first", file=sys.stderr)
+        return 2
+    lf, rf, offset = _synced_rgb_frames(store, args.left, args.right, args.max_frames)
+    if len(lf) == 0:
+        print("no frames decoded", file=sys.stderr)
+        return 2
+    ld = detect_balls_in_frames(lf, score_threshold=args.score_threshold)
+    rd = detect_balls_in_frames(rf, score_threshold=args.score_threshold)
+    traj = analyze_ball_drop(rig, ld, rd, fps=args.fps, drop_height_mm=args.drop_height)
+    report = drop_report(traj, drop_height_mm=args.drop_height)
+    out = Path(args.test_dir) / "results" / "ball_drop"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "drop_report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps({"stage": "ball_drop", "sync_offset": offset, **report}))
+    return 0
+
+
+def cmd_smooth(args) -> int:
+    """Re-smooth a saved pose sequence + regression metrics (reference
+    motion_smoothing.py + test_smoothing.py)."""
+    import pickle
+
+    from stereo_vision_tpu.pipeline.reporting import smoothing_comparison_stats
+    from stereo_vision_tpu.track.smoothing import MotionSmoother
+
+    with open(args.input, "rb") as f:
+        poses = np.asarray(pickle.load(f))
+    smoother = MotionSmoother(args.preset)
+    smoothed = smoother.smooth_pose_sequence(poses)
+    stats = smoothing_comparison_stats(poses, smoothed)
+    out = Path(args.out or Path(args.input).parent / "pose_3d_resmoothed.pkl")
+    with open(out, "wb") as f:
+        pickle.dump(smoothed, f)
+    print(json.dumps({"stage": "smooth", "preset": args.preset, **stats, "output": str(out)}))
+    return 0
+
+
+def cmd_animate(args) -> int:
+    """Side-by-side raw-vs-smoothed 3D skeleton animation (reference
+    visualize_smoothing.py:58-197)."""
+    import pickle
+
+    from stereo_vision_tpu.pipeline.animations import create_pose_comparison_video
+
+    with open(args.raw, "rb") as f:
+        raw = np.asarray(pickle.load(f))
+    with open(args.smoothed, "rb") as f:
+        smoothed = np.asarray(pickle.load(f))
+    out = create_pose_comparison_video(
+        raw, smoothed, args.out, fps=args.fps, duration=args.duration
+    )
+    print(json.dumps({"stage": "animate", "frames": int(len(raw)), "output": str(out)}))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Cross-run validation aggregation (reference analyze_validation.py)."""
+    from stereo_vision_tpu.pipeline.aggregation import (
+        collect_run_results,
+        generate_validation_report,
+        overall_metrics,
+    )
+
+    results = collect_run_results(args.results_dir)
+    if not results:
+        print("no validation records found", file=sys.stderr)
+        return 2
+    out = generate_validation_report(results, args.out or args.results_dir)
+    print(
+        json.dumps(
+            {
+                "stage": "analyze",
+                "runs": len(results),
+                **(overall_metrics(results) or {}),
+                "report": str(out),
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="stereo_vision_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -260,6 +413,44 @@ def build_parser() -> argparse.ArgumentParser:
 
     pb = sub.add_parser("bench", help="headline benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("pose", help="stereo 3D pose workflow (flagship)")
+    pp.add_argument("--test-dir", required=True)
+    pp.add_argument("--left", required=True)
+    pp.add_argument("--right", required=True)
+    pp.add_argument("--preset", default="smalliphone")
+    pp.add_argument("--fps", type=float, default=30.0)
+    pp.add_argument("--max-frames", type=int, default=900)
+    pp.set_defaults(fn=cmd_pose)
+
+    pbd = sub.add_parser("ball-drop", help="ball-drop physics validation")
+    pbd.add_argument("--test-dir", required=True)
+    pbd.add_argument("--left", required=True)
+    pbd.add_argument("--right", required=True)
+    pbd.add_argument("--fps", type=float, default=30.0)
+    pbd.add_argument("--drop-height", type=float, default=None, help="mm")
+    pbd.add_argument("--score-threshold", type=float, default=0.3)
+    pbd.add_argument("--max-frames", type=int, default=900)
+    pbd.set_defaults(fn=cmd_ball_drop)
+
+    psm = sub.add_parser("smooth", help="re-smooth a saved pose pickle")
+    psm.add_argument("--input", required=True, help="(T, J, 3) pose pickle")
+    psm.add_argument("--preset", default="smalliphone")
+    psm.add_argument("--out", default=None)
+    psm.set_defaults(fn=cmd_smooth)
+
+    pan = sub.add_parser("animate", help="raw-vs-smoothed skeleton video")
+    pan.add_argument("--raw", required=True)
+    pan.add_argument("--smoothed", required=True)
+    pan.add_argument("--out", required=True)
+    pan.add_argument("--fps", type=float, default=10.0)
+    pan.add_argument("--duration", type=float, default=10.0)
+    pan.set_defaults(fn=cmd_animate)
+
+    paz = sub.add_parser("analyze", help="cross-run validation aggregation")
+    paz.add_argument("--results-dir", required=True)
+    paz.add_argument("--out", default=None)
+    paz.set_defaults(fn=cmd_analyze)
     return p
 
 
