@@ -43,7 +43,13 @@ def main() -> None:
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, (H, W + 2 * D)).astype(np.int32)
     left = jnp.asarray(base[:, D : D + W])
-    right = jnp.asarray(base[:, D - 20 : D - 20 + W])
+    # Disparity convention: left[x] matches right[x - d] — right content
+    # shifted LEFT, so right samples base 20 columns to the RIGHT of
+    # left's window (d = +20, inside [0, D)). Same fixture as bench.py;
+    # the inverted shift would make every full-pipeline output invalid
+    # and feed time_jitted a constant carry (the DCE hazard its
+    # docstring warns about).
+    right = jnp.asarray(base[:, D + 20 : D + 20 + W])
     ftz = params.ftzero
 
     def cost_fn(l, r):

@@ -352,9 +352,10 @@ def find_chessboard_corners(
             return False, None
         # Make silent jax-path regressions visible (round-1 verdict weak #7).
         logging.getLogger(__name__).warning(
-            "jax checkerboard detector failed (%d/%d candidates, ordered=%s); "
+            "jax checkerboard detector failed (%d/%d candidates%s); "
             "falling back to cv2",
-            len(picked), n, len(picked) >= n,
+            len(picked), n,
+            ", grid ordering failed" if len(picked) >= n else "",
         )
 
     if backend in ("cv2", "auto"):

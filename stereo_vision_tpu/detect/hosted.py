@@ -163,12 +163,16 @@ class HostedDetectorClient:
         self.radius_range = radius_range
         self.calls = 0  # transport invocations (cache hits skip these)
 
+    # Cache entry marking "transport ran, nothing detected": no-ball
+    # frames must not re-invoke a paid hosted endpoint on every pass.
+    _NO_DETECTION = "no_detection"
+
     def detect(self, image: np.ndarray) -> BallDetection | None:
         """(H, W, 3) uint8 RGB frame -> best BallDetection or None."""
         if self.cache is not None:
             hit = self.cache.get(image)
             if hit is not None:
-                return hit
+                return None if hit == self._NO_DETECTION else hit
 
         self.calls += 1
         preds = [
@@ -176,8 +180,8 @@ class HostedDetectorClient:
             if p["confidence"] >= self.conf_threshold
         ]
         result = self._select(image, preds)
-        if self.cache is not None and result is not None:
-            self.cache.put(image, result)
+        if self.cache is not None:
+            self.cache.put(image, self._NO_DETECTION if result is None else result)
         return result
 
     def _select(self, image: np.ndarray, preds: Sequence[Prediction]) -> BallDetection | None:

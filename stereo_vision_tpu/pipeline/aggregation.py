@@ -38,18 +38,27 @@ def collect_run_results(results_dir: str | Path) -> list[dict]:
         for rec in json.loads(p.read_text()):
             rec.setdefault("source", p.name)
             out.append(_normalize(rec, p))
-    try:
-        import pickle
+    import logging
+    import pickle
 
-        for p in sorted(root.glob("*_validation_results.pkl")):
+    for p in sorted(root.glob("*_validation_results.pkl")):
+        # Per-file guard: one corrupt pickle must not silently drop the
+        # remaining runs from the report.
+        try:
             with open(p, "rb") as f:
                 rec = pickle.load(f)
-            recs = rec if isinstance(rec, list) else [rec]
-            for r in recs:
-                r.setdefault("source", p.name)
-                out.append(_normalize(r, p))
-    except Exception:
-        pass
+        except Exception as e:  # noqa: BLE001 - any unpickling failure
+            logging.getLogger(__name__).warning("skipping %s: %r", p, e)
+            continue
+        recs = rec if isinstance(rec, list) else [rec]
+        for r in recs:
+            if not isinstance(r, dict):
+                logging.getLogger(__name__).warning(
+                    "skipping non-dict record in %s", p
+                )
+                continue
+            r.setdefault("source", p.name)
+            out.append(_normalize(r, p))
     return out
 
 

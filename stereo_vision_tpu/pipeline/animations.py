@@ -62,7 +62,7 @@ def _fig_to_rgb(fig) -> np.ndarray:
 
 
 def _sample_indices(total: int, fps: float, duration: float) -> np.ndarray:
-    count = int(fps * duration)
+    count = max(int(fps * duration), 1)  # fps*duration < 1 -> one frame
     if count >= total:
         return np.arange(total)
     return np.linspace(0, total - 1, count).astype(int)

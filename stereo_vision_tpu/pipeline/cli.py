@@ -224,7 +224,9 @@ def _synced_rgb_frames(store, left_path, right_path, max_frames):
     from stereo_vision_tpu.io.video import extract_frames
 
     sync = store.load_sync()
-    offset = int(sync["offset"]) if sync else 0
+    # ArtifactStore.save_sync persists the key as "frame_offset"
+    # (sync_data.pkl schema, ball_drop.py:22-34).
+    offset = int(sync.get("frame_offset", sync.get("offset", 0))) if sync else 0
     lf, _ = extract_frames(
         left_path, start=max(0, -offset), interval=1, max_frames=max_frames
     )

@@ -53,8 +53,12 @@ def estimate_gravity(
 ) -> tuple[float, float]:
     """Vertical acceleration estimate and % error vs 9800 mm/s².
 
-    method="fd" mirrors ball_drop.py:458-485 exactly: velocities then
-    accelerations by finite differences, gravity = mean(-a_y). The mean
+    method="fd" mirrors ball_drop.py:458-485's estimator: velocities then
+    accelerations by finite differences, gravity = their mean along the
+    vertical axis. (The reference's ``mean(-a[1])`` assumes a y-UP
+    reconstruction — pass ``up_is_negative=False`` for that orientation;
+    the default ``True`` is the y-grows-downward image/camera frame,
+    where free fall has a_y = +g.) The mean
     of second differences telescopes to the 4 endpoint samples, so with
     detection noise sigma at frame rate f its error is ~2*sqrt(2)*sigma*f/T
     — at 240 fps and 1 px noise that exceeds g itself.

@@ -48,9 +48,16 @@ def time_jitted(
     flat_args, treedef = jax.tree_util.tree_flatten(args)
 
     def default_perturb(flat, carry, i):
-        a0 = flat[0]
-        bump = (carry + i).astype(a0.dtype) if a0.dtype != bool else a0.flat[0]
-        return [a0.at[(0,) * a0.ndim].add(bump)] + flat[1:]
+        # Perturb the first non-bool leaf (bool has no meaningful "+bump",
+        # and .at[].add on bool is logical-or, which saturates).
+        for k, a0 in enumerate(flat):
+            if a0.dtype != bool:
+                bump = (carry + i).astype(a0.dtype)
+                return flat[:k] + [a0.at[(0,) * a0.ndim].add(bump)] + flat[k + 1 :]
+        raise ValueError(
+            "all inputs are boolean; pass an explicit perturb= hook so each "
+            "iteration's input depends on the previous output"
+        )
 
     def default_reduce(out):
         # Use the CENTER element: borders are often constant (e.g. SGBM's

@@ -69,6 +69,15 @@ class TestHostedClient:
         client = HostedDetectorClient(lambda im: preds)
         assert client.detect(img) is None
 
+    def test_cache_stores_misses(self, tmp_path):
+        """No-detection frames must not re-hit the (paid) transport."""
+        rng = np.random.default_rng(7)
+        img = textured_background(rng, 160, 200)
+        client = HostedDetectorClient(lambda im: [], cache_path=tmp_path / "c.pkl")
+        assert client.detect(img) is None
+        assert client.detect(img) is None
+        assert client.calls == 1
+
     def test_confidence_threshold(self):
         rng = np.random.default_rng(4)
         img = _scene(rng)
