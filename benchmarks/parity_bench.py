@@ -154,7 +154,9 @@ def config4() -> dict:
     from stereo_vision_tpu.models import YOLOv8, decode_predictions
     from stereo_vision_tpu.stereo.depth import depth_from_disparity
 
-    model = YOLOv8(num_classes=4, variant="n")
+    # BASELINE config #4 names YOLOv8m specifically (the in-repo trained
+    # ball weights are the "n" variant; the timing config follows the spec).
+    model = YOLOv8(num_classes=4, variant="m")
     x = jnp.zeros((2, 256, 256, 3), jnp.float32)  # left+right in one batch
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     # Bouguet Q for f=1000px, baseline 100mm, centered principal point:
