@@ -48,7 +48,9 @@ def main() -> None:
         def body(carry, i):
             li = l.at[0, 0, 0].set(carry + i)
             d = jax.vmap(lambda a, b: stereo_sgbm(a, b, params))(li, r)
-            return d[0, H // 2, W // 2].astype(jnp.int32) & 1, ()
+            # Carry touches EVERY batch element so no frame's computation
+            # is dead code (d[0] alone would let XLA skip frames 1..B-1).
+            return jnp.sum(d[:, H // 2, W // 2]).astype(jnp.int32) & 1, ()
 
         c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(N))
         return c

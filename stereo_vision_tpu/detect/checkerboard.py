@@ -18,6 +18,7 @@ host escape hatch is kept behind the same interface
 from __future__ import annotations
 
 import functools
+import itertools
 import logging
 
 import jax
@@ -252,8 +253,6 @@ def _order_grid(points: np.ndarray, cols: int, rows: int) -> np.ndarray | None:
     if h < 4:
         return None
     # Max-area quadrilateral over hull vertices (hull is small: brute force).
-    import itertools
-
     hp = pts[hull]
     best_quad, best_area = None, -1.0
     for comb in itertools.combinations(range(h), 4):

@@ -168,11 +168,9 @@ def min_enclosing_circle(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def region_circularity(gray_region: jnp.ndarray) -> jnp.ndarray:
-    """Otsu-binarize a grayscale crop and score its circularity — the
-    reference's rescoring step (ball_drop.py:130-147) without the contour
-    walk. The foreground polarity is chosen as the side with the smaller
-    border contact (balls rarely touch the crop border)."""
+def otsu_foreground(gray_region: jnp.ndarray) -> jnp.ndarray:
+    """Otsu-binarize a crop and pick the foreground polarity as the side
+    with the smaller border contact (balls rarely touch the crop border)."""
     fg = otsu_binarize(gray_region)
     border = (
         jnp.sum(fg[0]) + jnp.sum(fg[-1]) + jnp.sum(fg[:, 0]) + jnp.sum(fg[:, -1])
@@ -180,6 +178,12 @@ def region_circularity(gray_region: jnp.ndarray) -> jnp.ndarray:
     border_inv = (
         jnp.sum(~fg[0]) + jnp.sum(~fg[-1]) + jnp.sum(~fg[:, 0]) + jnp.sum(~fg[:, -1])
     )
-    use_inv = border > border_inv
-    m = jnp.where(use_inv, ~fg, fg)
-    return mask_circularity(m)
+    return jnp.where(border > border_inv, ~fg, fg)
+
+
+@jax.jit
+def region_circularity(gray_region: jnp.ndarray) -> jnp.ndarray:
+    """Otsu-binarize a grayscale crop and score its circularity — the
+    reference's rescoring step (ball_drop.py:130-147) without the contour
+    walk."""
+    return mask_circularity(otsu_foreground(gray_region))

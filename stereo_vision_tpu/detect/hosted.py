@@ -82,12 +82,12 @@ def _refine_circle(
         largest_component_mask,
         mask_circularity,
         min_enclosing_circle,
+        otsu_foreground,
     )
     from stereo_vision_tpu.detect.image_ops import (
         binary_dilate,
         binary_erode,
         in_range,
-        otsu_binarize,
         rgb_to_hsv,
     )
 
@@ -98,13 +98,7 @@ def _refine_circle(
         if float(jnp.sum(cmask)) >= 100:
             mask = cmask
     if mask is None:
-        g = jnp.asarray(region_rgb.astype(np.float32).mean(-1))
-        fg = otsu_binarize(g)
-        # Foreground polarity: the side with less border contact (balls
-        # rarely touch the crop border), as circles.region_circularity.
-        border = float(jnp.sum(fg[0]) + jnp.sum(fg[-1]) + jnp.sum(fg[:, 0]) + jnp.sum(fg[:, -1]))
-        border_inv = float(jnp.sum(~fg[0]) + jnp.sum(~fg[-1]) + jnp.sum(~fg[:, 0]) + jnp.sum(~fg[:, -1]))
-        mask = ~fg if border > border_inv else fg
+        mask = otsu_foreground(jnp.asarray(region_rgb.astype(np.float32).mean(-1)))
 
     # The reference scores max(contours, key=contourArea) — an isolated
     # blob, not the union of mask pixels. Sweep a morphological opening

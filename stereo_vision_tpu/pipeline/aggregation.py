@@ -12,6 +12,8 @@ reference's recommendation thresholds (<5% excellent, <10% good).
 from __future__ import annotations
 
 import json
+import logging
+import pickle
 from pathlib import Path
 from typing import Iterable
 
@@ -38,9 +40,6 @@ def collect_run_results(results_dir: str | Path) -> list[dict]:
         for rec in json.loads(p.read_text()):
             rec.setdefault("source", p.name)
             out.append(_normalize(rec, p))
-    import logging
-    import pickle
-
     for p in sorted(root.glob("*_validation_results.pkl")):
         # Per-file guard: one corrupt pickle must not silently drop the
         # remaining runs from the report.

@@ -147,7 +147,7 @@ def create_rolling_animation(
     from stereo_vision_tpu.io.video import write_video
 
     T = min(len(left_xy), len(right_xy), len(timestamps))
-    idx = np.arange(T) if T <= max_frames else np.linspace(0, T - 1, max_frames).astype(int)
+    idx = _sample_indices(T, max_frames, 1.0)
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 6))
     for ax, xy, title in ((ax1, left_xy, "Ball Motion (Left Camera)"),
