@@ -9,6 +9,8 @@ from stereo_vision_tpu.detect.image_ops import (
     otsu_threshold,
     otsu_binarize,
     in_range,
+    binary_erode,
+    binary_dilate,
     resize_bilinear,
     sobel_magnitude,
 )
@@ -19,6 +21,8 @@ from stereo_vision_tpu.detect.circles import (
     mask_circularity,
     min_enclosing_circle,
     region_circularity,
+    largest_component_mask,
+    otsu_foreground,
 )
 from stereo_vision_tpu.detect.ball import (
     BallDetection,
@@ -30,6 +34,11 @@ from stereo_vision_tpu.detect.ball import (
     BLUE_HSV_RANGE,
 )
 from stereo_vision_tpu.detect.cache import DetectionCache, image_hash
+from stereo_vision_tpu.detect.hosted import (
+    HostedDetectorClient,
+    ROBOFLOW_BLUE_HSV_RANGE,
+    local_transport,
+)
 from stereo_vision_tpu.detect.checkerboard import (
     harris_response,
     checkerboard_response,
@@ -44,6 +53,8 @@ __all__ = [
     "otsu_threshold",
     "otsu_binarize",
     "in_range",
+    "binary_erode",
+    "binary_dilate",
     "resize_bilinear",
     "sobel_magnitude",
     "Circle",
@@ -52,6 +63,8 @@ __all__ = [
     "mask_circularity",
     "min_enclosing_circle",
     "region_circularity",
+    "largest_component_mask",
+    "otsu_foreground",
     "BallDetection",
     "rescore_detections",
     "color_fraction",
@@ -65,4 +78,7 @@ __all__ = [
     "find_chessboard_corners",
     "DetectionCache",
     "image_hash",
+    "HostedDetectorClient",
+    "ROBOFLOW_BLUE_HSV_RANGE",
+    "local_transport",
 ]

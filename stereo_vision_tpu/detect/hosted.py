@@ -32,7 +32,7 @@ from stereo_vision_tpu.detect.cache import DetectionCache
 
 # Reference blue-ball HSV range (roboflow_ball_detector.py:206-214),
 # in OpenCV HSV scaling (H in [0, 180)).
-BLUE_HSV_RANGE = ((100, 50, 50), (130, 255, 255))
+ROBOFLOW_BLUE_HSV_RANGE = ((100, 50, 50), (130, 255, 255))
 
 Prediction = dict
 Transport = Callable[[np.ndarray], Sequence[Prediction]]
@@ -145,7 +145,7 @@ class HostedDetectorClient:
         transport: Transport,
         cache_path: str | Path | None = None,
         conf_threshold: float = 0.5,
-        hsv_range=BLUE_HSV_RANGE,
+        hsv_range=ROBOFLOW_BLUE_HSV_RANGE,
         color_min_percent: float = 10.0,
         radius_range: tuple[float, float] = (10.0, 300.0),
     ):

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from stereo_vision_tpu.detect.hosted import (
-    BLUE_HSV_RANGE,
+    ROBOFLOW_BLUE_HSV_RANGE,
     HostedDetectorClient,
     local_transport,
 )
@@ -35,7 +35,7 @@ class TestHostedClient:
         draw_ball(img, 40.0, 120.0, 18.0, (230, 60, 40))  # red distractor
 
         preds = [_pred(40, 120, 18, 0.95), _pred(100, 80, 30, 0.6)]
-        client = HostedDetectorClient(lambda im: preds, hsv_range=BLUE_HSV_RANGE)
+        client = HostedDetectorClient(lambda im: preds, hsv_range=ROBOFLOW_BLUE_HSV_RANGE)
         det = client.detect(img)
         assert det is not None
         assert np.hypot(det.cx - 100, det.cy - 80) < 6.0
@@ -44,7 +44,7 @@ class TestHostedClient:
         rng = np.random.default_rng(1)
         img = _scene(rng, color=(230, 60, 40))  # red ball only
         preds = [_pred(100, 80, 30, 0.8)]
-        client = HostedDetectorClient(lambda im: preds, hsv_range=BLUE_HSV_RANGE)
+        client = HostedDetectorClient(lambda im: preds, hsv_range=ROBOFLOW_BLUE_HSV_RANGE)
         det = client.detect(img)
         assert det is not None  # no blue -> falls back to raw best
         assert np.hypot(det.cx - 100, det.cy - 80) < 6.0
@@ -54,7 +54,7 @@ class TestHostedClient:
         rng = np.random.default_rng(2)
         img = _scene(rng, cx=100, cy=80, r=25, color=(30, 80, 230))
         preds = [_pred(108, 86, 38, 0.9)]  # sloppy box
-        client = HostedDetectorClient(lambda im: preds, hsv_range=BLUE_HSV_RANGE)
+        client = HostedDetectorClient(lambda im: preds, hsv_range=ROBOFLOW_BLUE_HSV_RANGE)
         det = client.detect(img)
         assert det is not None
         raw_err = np.hypot(108 - 100, 86 - 80)
