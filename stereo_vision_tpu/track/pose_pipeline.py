@@ -89,6 +89,32 @@ def run_pose_workflow(
             for t in range(T):
                 w.writerow([t, t / fps, *[f"{a:.3f}" for a in ang_sm[t]]])
         (out / "smoothing_stats.json").write_text(json.dumps(smoother.stats, indent=2))
+        # Per-joint angle statistics, txt + csv (3dpose.py:978-1023 schema).
+        with np.errstate(all="ignore"):
+            stat_rows = []
+            for j, name in enumerate(ANGLE_NAMES):
+                a = ang_sm[:, j]
+                a = a[np.isfinite(a)]
+                if len(a):
+                    stat_rows.append(
+                        (name, a.mean(), np.median(a), a.std(), a.min(), a.max())
+                    )
+        txt = ["Angle Statistics for 3D Pose", ""]
+        for name, mean, med, std, lo, hi in stat_rows:
+            txt += [
+                f"{name.replace('_', ' ').title()}:",
+                f"  Mean: {mean:.2f}°",
+                f"  Median: {med:.2f}°",
+                f"  Standard Deviation: {std:.2f}°",
+                f"  Range: {lo:.2f}° - {hi:.2f}°",
+                "",
+            ]
+        (out / "angle_statistics.txt").write_text("\n".join(txt) + "\n")
+        with open(out / "angle_statistics.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["joint", "mean", "median", "std", "min", "max"])
+            for name, mean, med, std, lo, hi in stat_rows:
+                w.writerow([name] + [f"{v:.2f}" for v in (mean, med, std, lo, hi)])
         try:
             from stereo_vision_tpu.pipeline.reporting import (
                 save_angle_series,

@@ -113,8 +113,12 @@ def test_pose_command_end_to_end(tmp_path, capsys):
     assert out["valid_pose_fraction"] > 0.8
     pose_dir = tmp_path / "results" / "pose"
     for artifact in ("pose_3d_original.pkl", "pose_3d_smoothed.pkl",
-                     "joint_angles.csv", "smoothing_stats.json"):
+                     "joint_angles.csv", "smoothing_stats.json",
+                     "angle_statistics.txt", "angle_statistics.csv"):
         assert (pose_dir / artifact).exists(), artifact
+    stats_csv = (pose_dir / "angle_statistics.csv").read_text().splitlines()
+    assert stats_csv[0] == "joint,mean,median,std,min,max"
+    assert len(stats_csv) > 1
 
 
 @pytest.mark.skipif(not BALL_WEIGHTS.exists(), reason="ball weights not trained")
