@@ -303,6 +303,19 @@ def cmd_ball_drop(args) -> int:
     return 0
 
 
+def _load_pose_pickle(path) -> np.ndarray:
+    """(T, J, 3) poses from either this framework's bare-array pickles or
+    the reference's dict schema ({'poses', 'angles', 'timestamps', 'fps'},
+    3dpose.py:935-965) — reference users bring those files directly."""
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    if isinstance(data, dict):
+        data = data["poses"]
+    return np.asarray(data, np.float64)
+
+
 def cmd_smooth(args) -> int:
     """Re-smooth a saved pose sequence + regression metrics (reference
     motion_smoothing.py + test_smoothing.py)."""
@@ -311,8 +324,7 @@ def cmd_smooth(args) -> int:
     from stereo_vision_tpu.pipeline.reporting import smoothing_comparison_stats
     from stereo_vision_tpu.track.smoothing import MotionSmoother
 
-    with open(args.input, "rb") as f:
-        poses = np.asarray(pickle.load(f))
+    poses = _load_pose_pickle(args.input)
     smoother = MotionSmoother(args.preset)
     smoothed = smoother.smooth_pose_sequence(poses)
     stats = smoothing_comparison_stats(poses, smoothed)
@@ -326,14 +338,10 @@ def cmd_smooth(args) -> int:
 def cmd_animate(args) -> int:
     """Side-by-side raw-vs-smoothed 3D skeleton animation (reference
     visualize_smoothing.py:58-197)."""
-    import pickle
-
     from stereo_vision_tpu.pipeline.animations import create_pose_comparison_video
 
-    with open(args.raw, "rb") as f:
-        raw = np.asarray(pickle.load(f))
-    with open(args.smoothed, "rb") as f:
-        smoothed = np.asarray(pickle.load(f))
+    raw = _load_pose_pickle(args.raw)
+    smoothed = _load_pose_pickle(args.smoothed)
     out = create_pose_comparison_video(
         raw, smoothed, args.out, fps=args.fps, duration=args.duration
     )

@@ -61,6 +61,23 @@ def test_smooth_command(tmp_path, capsys):
     assert sm.shape == poses.shape
 
 
+def test_smooth_accepts_reference_pickle_schema(tmp_path, capsys):
+    """The reference's 3dpose pickles are dicts with 'poses' etc.
+    (3dpose.py:935-965); the CLI must consume them unchanged."""
+    poses = _pose_sequence(seed=9)
+    src = tmp_path / "pose_3d_data.pkl"
+    with open(src, "wb") as f:
+        pickle.dump(
+            {"poses": poses, "angles": [], "timestamps": list(range(len(poses))),
+             "fps": 30.0},
+            f,
+        )
+    rc = main(["smooth", "--input", str(src)])
+    assert rc == 0
+    out = _out_json(capsys)
+    assert out["jitter_after"] < out["jitter_before"]
+
+
 def test_animate_command(tmp_path, capsys):
     poses = _pose_sequence(T=12)
     raw_p, sm_p = tmp_path / "raw.pkl", tmp_path / "sm.pkl"
