@@ -8,6 +8,7 @@ proof harness — any flaw in the taint/count argument shows up here.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 cv2 = pytest.importorskip("cv2")
@@ -110,3 +111,31 @@ def test_dense_quantized_720p_slice():
     ref = _cv2_speckle(disp, -1, 20, 1)
     got = _ours(disp, -1, 20, 1)
     np.testing.assert_array_equal(got, ref)
+
+
+class TestSpecklePallas:
+    """The VMEM-resident Pallas formulation (speckle_pallas.py) must match
+    the XLA formulation bit for bit (which itself is cv2 parity, above).
+    It is NOT wired into the pipeline — measured 2x slower on the current
+    Mosaic toolchain (see its module docstring) — but the capability is
+    kept correct."""
+
+    @pytest.mark.parametrize("seed,S,frac", [(0, 8, False), (1, 5, True), (2, 1, False)])
+    def test_matches_xla_exactly(self, seed, S, frac):
+        from stereo_vision_tpu.stereo.speckle_pallas import speckle_filter_pallas
+
+        rng = np.random.default_rng(seed)
+        H, W = 40, 60
+        disp = np.where(
+            rng.random((H, W)) < 0.65,
+            np.floor(rng.uniform(0, 32 * 16, (H, W))),
+            -16.0,
+        ).astype(np.float32)
+        inv, md = -16.0, 32.0
+        if frac:
+            disp, inv, md = disp / 16.0, -1.0, 2.0
+        ref = np.asarray(speckle_filter(jnp.asarray(disp), md, S, inv))
+        out = np.asarray(
+            speckle_filter_pallas(jnp.asarray(disp), md, S, inv, interpret=True)
+        )
+        np.testing.assert_array_equal(out, ref)
