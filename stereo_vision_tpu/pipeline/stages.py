@@ -33,6 +33,7 @@ from stereo_vision_tpu.ops.rectify import init_undistort_rectify_map, stereo_rec
 from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
 from stereo_vision_tpu.pipeline.config import PipelineConfig
 from stereo_vision_tpu.sync.flash import synchronize_streams
+from stereo_vision_tpu.utils.profiling import StageTimer
 
 
 class PipelineGateError(RuntimeError):
@@ -69,16 +70,18 @@ def run_intrinsic_stage(
     )
     reports = []
     for cam, corners in detections.items():
-        calib = calibrate_camera(
-            obj,
-            corners,
-            image_size,
-            flags=flags,
-            error_threshold_px=config.intrinsic.error_threshold_px,
-            relative_threshold=config.intrinsic.relative_threshold,
-            max_drop_fraction=config.intrinsic.max_drop_fraction,
-            min_frames=config.intrinsic.min_frames,
-        )
+        timer = StageTimer()
+        with timer("solve"):
+            calib = calibrate_camera(
+                obj,
+                corners,
+                image_size,
+                flags=flags,
+                error_threshold_px=config.intrinsic.error_threshold_px,
+                relative_threshold=config.intrinsic.relative_threshold,
+                max_drop_fraction=config.intrinsic.max_drop_fraction,
+                min_frames=config.intrinsic.min_frames,
+            )
         status = check_intrinsic_quality(calib.rms, len(calib.kept_frames))
         if status == GateStatus.FAIL:
             raise PipelineGateError(
@@ -89,7 +92,8 @@ def run_intrinsic_stage(
         rep = StageReport(
             name=f"intrinsic/{cam}",
             status=status.value,
-            metrics={"rms_px": calib.rms, "frames": len(calib.kept_frames)},
+            metrics={"rms_px": calib.rms, "frames": len(calib.kept_frames),
+                     **timer.metrics},
         )
         if status == GateStatus.WARN:
             rep.warnings.append(f"rms {calib.rms:.3f}px > warn threshold")
@@ -114,9 +118,11 @@ def run_extrinsic_stage(
         raise PipelineGateError(
             f"only {corners_left.shape[0]} stereo pairs (< {config.stereo.min_pairs})"
         )
-    calib = calibrate_stereo(
-        obj, corners_left, corners_right, K1, d1, K2, d2, image_size
-    )
+    timer = StageTimer()
+    with timer("solve"):
+        calib = calibrate_stereo(
+            obj, corners_left, corners_right, K1, d1, K2, d2, image_size
+        )
     baseline_err = None
     if config.stereo.actual_baseline_mm:
         baseline_err = (
@@ -135,6 +141,7 @@ def run_extrinsic_stage(
             "rms_px": calib.rms,
             "baseline_mm": calib.baseline,
             "baseline_error_pct": baseline_err,
+            **timer.metrics,
         },
     )
     if status == GateStatus.WARN:
@@ -150,19 +157,23 @@ def run_rectification_stage(
     """Bouguet rectification + map generation, persisted in the reference
     schema (checkerboard_distance.py:49-57 semantics)."""
     rig = store.load_rig()
-    R1, R2, P1, P2, Q = stereo_rectify(
-        jnp.asarray(rig.K1), jnp.asarray(rig.d1),
-        jnp.asarray(rig.K2), jnp.asarray(rig.d2),
-        image_size, jnp.asarray(rig.R), jnp.asarray(rig.T), alpha=alpha,
-    )
+    timer = StageTimer()
+    with timer("rectify"):
+        R1, R2, P1, P2, Q = stereo_rectify(
+            jnp.asarray(rig.K1), jnp.asarray(rig.d1),
+            jnp.asarray(rig.K2), jnp.asarray(rig.d2),
+            image_size, jnp.asarray(rig.R), jnp.asarray(rig.T), alpha=alpha,
+        )
     store.save_rectification(R1, R2, P1, P2, Q)
-    mx1, my1 = init_undistort_rectify_map(jnp.asarray(rig.K1), jnp.asarray(rig.d1), R1, P1, image_size)
-    mx2, my2 = init_undistort_rectify_map(jnp.asarray(rig.K2), jnp.asarray(rig.d2), R2, P2, image_size)
+    with timer("maps", pixels=2 * image_size[0] * image_size[1]):
+        mx1, my1 = init_undistort_rectify_map(jnp.asarray(rig.K1), jnp.asarray(rig.d1), R1, P1, image_size)
+        mx2, my2 = init_undistort_rectify_map(jnp.asarray(rig.K2), jnp.asarray(rig.d2), R2, P2, image_size)
     np.save(store.rectify_dir / "maps.npy", np.stack([np.asarray(m) for m in (mx1, my1, mx2, my2)]))
     return StageReport(
         name="rectify",
         status="pass",
-        metrics={"Q_diag": [float(np.asarray(Q)[i, i]) for i in range(4)]},
+        metrics={"Q_diag": [float(np.asarray(Q)[i, i]) for i in range(4)],
+                 **timer.metrics},
     )
 
 
@@ -175,13 +186,15 @@ def run_sync_stage(
     """Flash synchronization with the abort-on-no-flash rule
     (3dpose.py:288-290) softened to a warning + offset 0 fallback
     (ball_drop.py:73-74)."""
-    res = synchronize_streams(
-        left_frames,
-        right_frames,
-        threshold=config.sync.threshold,
-        window_size=config.sync.window_size,
-        max_frames=config.sync.max_frames,
-    )
+    timer = StageTimer()
+    with timer("sync", pixels=int(left_frames.size + right_frames.size)):
+        res = synchronize_streams(
+            left_frames,
+            right_frames,
+            threshold=config.sync.threshold,
+            window_size=config.sync.window_size,
+            max_frames=config.sync.max_frames,
+        )
     warnings = []
     offset = res.offset
     if offset is None:
@@ -195,6 +208,7 @@ def run_sync_stage(
             "left_flash": res.left_flash,
             "right_flash": res.right_flash,
             "offset": offset,
+            **timer.metrics,
         },
         warnings=warnings,
     )

@@ -97,6 +97,7 @@ class TestStages:
         rep = run_sync_stage(store, PipelineConfig(), left, right)
         assert rep.metrics["offset"] == 5
         assert store.load_sync()["frame_offset"] == 5
+        assert rep.metrics["sync_ms"] > 0  # per-stage timing (SURVEY §5)
 
     def test_rectification_stage(self, tmp_path):
         store = ArtifactStore(tmp_path)
@@ -106,6 +107,7 @@ class TestStages:
         store.save_extrinsics(np.eye(3), np.array([-500.0, 0, 0]))
         rep = run_rectification_stage(store, (1280, 720))
         assert rep.status == "pass"
+        assert rep.metrics["rectify_ms"] > 0 and rep.metrics["maps_mpx_per_s"] > 0
         R1, R2, P1, P2, Q = store.load_rectification()
         assert R1.shape == (3, 3) and Q.shape == (4, 4)
 
