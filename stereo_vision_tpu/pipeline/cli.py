@@ -81,6 +81,18 @@ def cmd_intrinsic(args) -> int:
         board=BoardConfig(cols, rows, args.square), frames=_frames_config(args)
     )
     store = ArtifactStore(args.test_dir)
+    if args.skip_existing:
+        # v4 runner resume semantics (runner.py:118,182-190): a stage with
+        # existing output artifacts is skipped, not recomputed.
+        try:
+            for cam in ("left", "right"):
+                store.load_intrinsics(cam)
+        except (FileNotFoundError, OSError):
+            pass
+        else:
+            print(json.dumps({"stage": "intrinsic", "status": "skipped",
+                              "reason": "existing artifacts"}))
+            return 0
     detections, size = {}, None
     for cam in ("left", "right"):
         video = find_video(Path(args.test_dir) / "videos", f"{cam}_intrinsic")
@@ -111,6 +123,15 @@ def cmd_extrinsic(args) -> int:
         frames=_frames_config(args),
     )
     store = ArtifactStore(args.test_dir)
+    if args.skip_existing:
+        try:
+            store.load_extrinsics()
+        except (FileNotFoundError, OSError):
+            pass
+        else:
+            print(json.dumps({"stage": "extrinsic", "status": "skipped",
+                              "reason": "existing artifacts"}))
+            return 0
     per_cam, size = {}, None
     for cam in ("left", "right"):
         video = find_video(Path(args.test_dir) / "videos", f"{cam}_extrinsic")
@@ -384,6 +405,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--frame-interval", type=int, default=15)
         sp.add_argument("--max-frames", type=int, default=20)
         sp.add_argument("--start-frame", type=int, default=30)
+        sp.add_argument("--skip-existing", action="store_true",
+                        help="skip when output artifacts exist (v4 runner)")
 
     pi = sub.add_parser("intrinsic", help="per-camera calibration")
     pi.add_argument("--test-dir", required=True)

@@ -163,3 +163,19 @@ def test_ball_drop_command_end_to_end(tmp_path, capsys):
     g = out["gravity_mm_s2"]
     assert g is not None and abs(g - 9800.0) / 9800.0 < 0.1, g
     assert (tmp_path / "results" / "ball_drop" / "drop_report.json").exists()
+
+
+def test_skip_existing_resume(tmp_path, capsys):
+    """--skip-existing resumes past completed stages without videos
+    (v4 runner.py:118,182-190 semantics)."""
+    rig = _rig()
+    _save_rig(tmp_path, rig)
+    rc = main(["intrinsic", "--test-dir", str(tmp_path), "--skip-existing"])
+    assert rc == 0
+    assert _out_json(capsys)["status"] == "skipped"
+    rc = main(["extrinsic", "--test-dir", str(tmp_path), "--skip-existing"])
+    assert rc == 0
+    assert _out_json(capsys)["status"] == "skipped"
+    # Without the flag the same invocation must NOT silently skip: it
+    # attempts the real stage and fails on the missing videos.
+    assert main(["intrinsic", "--test-dir", str(tmp_path)]) == 2
