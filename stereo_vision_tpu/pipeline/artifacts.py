@@ -190,6 +190,25 @@ def load_calibration_xml(path):
     return out
 
 
+def load_calibration_results_pkl(path):
+    """Read the reference's per-camera ``calibration_results.pkl`` schema
+    (committed in calibration_tests/calibrate_v1..v2: dict with
+    camera_matrix / dist_coeffs / rvecs / tvecs / reprojection_error).
+
+    Returns (K (3,3), dist (N,), rvecs (F,3), tvecs (F,3), rms) — a user
+    migrating from the reference brings these files directly.
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    K = np.asarray(d["camera_matrix"], np.float64)
+    dist = np.asarray(d["dist_coeffs"], np.float64).ravel()
+    rvecs = np.asarray([np.asarray(r).ravel() for r in d["rvecs"]], np.float64)
+    tvecs = np.asarray([np.asarray(t).ravel() for t in d["tvecs"]], np.float64)
+    return K, dist, rvecs, tvecs, float(d.get("reprojection_error", np.nan))
+
+
 def save_calibration_csv(path, K, dist) -> None:
     """Flat CSV export (calibrate_v3 csv schema: name,value rows)."""
     import csv

@@ -143,3 +143,43 @@ class TestGoldenArtifacts:
         P2 = K2 @ np.hstack([R, T.reshape(3, 1)])
         rec = np.asarray(triangulate_points(jnp.asarray(P1), jnp.asarray(P2), u1, u2))
         np.testing.assert_allclose(rec, pts, atol=0.01)
+
+
+
+def test_reference_calibration_results_pkl_roundtrip():
+    """Read the reference's committed per-camera calibration pickle and
+    drive our geometry with it: project the checkerboard with its rvec/
+    tvec/K/dist and verify the distortion inverse round-trips."""
+    import jax.numpy as jnp
+
+    from stereo_vision_tpu.ops.distortion import project_points, undistort_points
+    from stereo_vision_tpu.ops.rotation import rodrigues
+    from stereo_vision_tpu.pipeline.artifacts import load_calibration_results_pkl
+
+
+    p = GOLDEN / "camera1_calib_images" / "calibration_results.pkl"
+    if not p.exists():
+        pytest.skip("pickle not committed in this snapshot")
+    K, dist, rvecs, tvecs, rms = load_calibration_results_pkl(p)
+    assert K.shape == (3, 3) and K[0, 0] > 100
+    assert len(rvecs) == len(tvecs) >= 1
+    assert np.isfinite(rms)
+
+    obj = np.zeros((24, 3))
+    obj[:, 0] = np.tile(np.arange(6), 4) * 25.0
+    obj[:, 1] = np.repeat(np.arange(4), 6) * 25.0
+    img = np.asarray(
+        project_points(
+            jnp.asarray(obj), jnp.asarray(rvecs[0]), jnp.asarray(tvecs[0]),
+            jnp.asarray(K), jnp.asarray(dist),
+        )
+    )
+    assert np.isfinite(img).all()
+    # Undistort back to normalized coords: the Newton inverse must
+    # round-trip through the reference's real coefficients.
+    R = np.asarray(rodrigues(jnp.asarray(rvecs[0])))
+    cam = obj @ R.T + tvecs[0]
+    norm = np.asarray(
+        undistort_points(jnp.asarray(img), jnp.asarray(K), jnp.asarray(dist))
+    )
+    np.testing.assert_allclose(norm, cam[:, :2] / cam[:, 2:3], atol=1e-6)
