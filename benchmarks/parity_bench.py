@@ -219,12 +219,21 @@ def config5() -> dict:
     B = max(n, 2)
     rng = np.random.default_rng(0)
     l = rng.integers(0, 255, (B, 360, 640)).astype(np.int32)
-    disp, pts = run(l, l)  # compile
+    disp, pts = run(l, l)  # compile + sharding-path smoke
     jax.block_until_ready(disp)
-    t0 = time.perf_counter()
-    disp, pts = run(l, l)
-    jax.block_until_ready(disp)
-    dt = time.perf_counter() - t0
+    # Steady-state: N chained iterations in ONE jit (a single re-dispatch
+    # under-counts through the remote tunnel and can hit its value cache).
+    import functools
+
+    from stereo_vision_tpu.parallel.streaming import batched_stereo_pipeline
+    from stereo_vision_tpu.stereo.bm import StereoBMParams as _P
+    from stereo_vision_tpu.utils.profiling import time_jitted
+
+    fn = functools.partial(
+        batched_stereo_pipeline, maps=maps[:4], Q=Q, matcher="bm",
+        params=_P(num_disparities=32, block_size=9),
+    )
+    dt = time_jitted(lambda a, b: fn(a, b)[0], (jnp.asarray(l), jnp.asarray(l)), n=5)
     return {
         "config": "5_batched_streams_mesh",
         "devices": n,
