@@ -320,6 +320,22 @@ def cmd_ball_drop(args) -> int:
     out = Path(args.test_dir) / "results" / "ball_drop"
     out.mkdir(parents=True, exist_ok=True)
     (out / "drop_report.json").write_text(json.dumps(report, indent=2))
+    if args.animate:
+        # Two-pane growing-path animation (reference ball_motion.py:578-648).
+        from stereo_vision_tpu.pipeline.animations import create_rolling_animation
+
+        def centers(dets):
+            xy = np.full((len(dets), 2), np.nan)
+            for i, d in enumerate(dets):
+                if d is not None:
+                    xy[i] = (d.cx, d.cy)
+            return xy
+
+        ts = np.arange(len(ld)) / args.fps
+        create_rolling_animation(
+            centers(ld), centers(rd), ts, out / "ball_motion.mp4"
+        )
+        report["animation"] = str(out / "ball_motion.mp4")
     print(json.dumps({"stage": "ball_drop", "sync_offset": offset, **report}))
     return 0
 
@@ -464,6 +480,8 @@ def build_parser() -> argparse.ArgumentParser:
     pbd.add_argument("--drop-height", type=float, default=None, help="mm")
     pbd.add_argument("--score-threshold", type=float, default=0.3)
     pbd.add_argument("--max-frames", type=int, default=900)
+    pbd.add_argument("--animate", action="store_true",
+                     help="write the two-pane ball-motion animation")
     pbd.set_defaults(fn=cmd_ball_drop)
 
     psm = sub.add_parser("smooth", help="re-smooth a saved pose pickle")

@@ -156,13 +156,15 @@ def test_ball_drop_command_end_to_end(tmp_path, capsys):
     write_video(rv, rf, fps=fps)
     rc = main([
         "ball-drop", "--test-dir", str(tmp_path),
-        "--left", str(lv), "--right", str(rv), "--fps", str(fps),
+        "--left", str(lv), "--right", str(rv), "--fps", str(fps), "--animate",
     ])
     assert rc == 0
     out = _out_json(capsys)
     g = out["gravity_mm_s2"]
     assert g is not None and abs(g - 9800.0) / 9800.0 < 0.1, g
-    assert (tmp_path / "results" / "ball_drop" / "drop_report.json").exists()
+    bd = tmp_path / "results" / "ball_drop"
+    assert (bd / "drop_report.json").exists()
+    assert (bd / "ball_motion.mp4").stat().st_size > 0
 
 
 def test_skip_existing_resume(tmp_path, capsys):
