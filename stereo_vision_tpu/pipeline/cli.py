@@ -386,6 +386,73 @@ def cmd_animate(args) -> int:
     return 0
 
 
+def _first_gray_frame(path: str) -> np.ndarray:
+    """First grayscale frame of a video, or an image file read as gray."""
+    import cv2
+
+    p = Path(path)
+    if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"):
+        img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise IOError(f"could not read image: {p}")
+        return img
+    from stereo_vision_tpu.io.video import extract_frames
+
+    frames, _ = extract_frames(p, start=0, interval=1, max_frames=1, grayscale=True)
+    if len(frames) == 0:
+        raise IOError(f"no frames decoded from {p}")
+    return frames[0]
+
+
+def cmd_validate_distance(args) -> int:
+    """Checkerboard distance validation (reference checkerboard_distance.py:
+    undistortPoints with the rectified R/P -> triangulate -> distance to
+    the board center vs the known distance), writing the validation JSON
+    that `analyze` aggregates."""
+    import jax.numpy as jnp
+
+    from stereo_vision_tpu.detect.checkerboard import find_chessboard_corners
+    from stereo_vision_tpu.ops.distortion import undistort_points
+    from stereo_vision_tpu.ops.triangulate import triangulate_points
+    from stereo_vision_tpu.pipeline.aggregation import save_run_results
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.track.validators import validate_distance
+
+    store = ArtifactStore(args.test_dir)
+    try:
+        rig = store.load_rig()
+        R1, R2, P1, P2, _ = store.load_rectification()
+    except (FileNotFoundError, OSError):
+        print("need calibration + rectification artifacts first", file=sys.stderr)
+        return 2
+    board = _parse_pair(args.board)
+    corners = {}
+    for side, path in (("left", args.left), ("right", args.right)):
+        ok, c = find_chessboard_corners(_first_gray_frame(path), board, backend="auto")
+        if not ok:
+            print(f"no checkerboard found in {side} view", file=sys.stderr)
+            return 2
+        corners[side] = np.asarray(c).reshape(-1, 2)
+    ul = np.asarray(undistort_points(
+        jnp.asarray(corners["left"]), jnp.asarray(rig.K1), jnp.asarray(rig.d1),
+        R=jnp.asarray(R1), P=jnp.asarray(P1),
+    ))
+    ur = np.asarray(undistort_points(
+        jnp.asarray(corners["right"]), jnp.asarray(rig.K2), jnp.asarray(rig.d2),
+        R=jnp.asarray(R2), P=jnp.asarray(P2),
+    ))
+    pts3d = np.asarray(triangulate_points(
+        jnp.asarray(P1)[:3, :4], jnp.asarray(P2)[:3, :4],
+        jnp.asarray(ul), jnp.asarray(ur),
+    ))
+    res = validate_distance(pts3d, args.actual_distance, args.tolerance)
+    out_dir = Path(args.test_dir) / "results"
+    name = args.name or f"distance_{int(args.actual_distance)}"
+    save_run_results([res], out_dir / f"{name}_validation.json", source=name)
+    print(json.dumps({"stage": "validate_distance", **res._asdict()}))
+    return 0 if res.passed else 1
+
+
 def cmd_analyze(args) -> int:
     """Cross-run validation aggregation (reference analyze_validation.py)."""
     from stereo_vision_tpu.pipeline.aggregation import (
@@ -497,6 +564,18 @@ def build_parser() -> argparse.ArgumentParser:
     pan.add_argument("--fps", type=float, default=10.0)
     pan.add_argument("--duration", type=float, default=10.0)
     pan.set_defaults(fn=cmd_animate)
+
+    pvd = sub.add_parser(
+        "validate-distance", help="checkerboard distance validation"
+    )
+    pvd.add_argument("--test-dir", required=True)
+    pvd.add_argument("--left", required=True, help="image or video")
+    pvd.add_argument("--right", required=True)
+    pvd.add_argument("--actual-distance", type=float, required=True, help="mm")
+    pvd.add_argument("--board", default="7x4")
+    pvd.add_argument("--tolerance", type=float, default=10.0, help="percent")
+    pvd.add_argument("--name", default=None, help="run name for analyze")
+    pvd.set_defaults(fn=cmd_validate_distance)
 
     paz = sub.add_parser("analyze", help="cross-run validation aggregation")
     paz.add_argument("--results-dir", required=True)

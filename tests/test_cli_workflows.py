@@ -181,3 +181,49 @@ def test_skip_existing_resume(tmp_path, capsys):
     # Without the flag the same invocation must NOT silently skip: it
     # attempts the real stage and fails on the missing videos.
     assert main(["intrinsic", "--test-dir", str(tmp_path)]) == 2
+
+
+def test_validate_distance_then_analyze(tmp_path, capsys):
+    """Rendered checkerboard pair at a known distance -> validate-distance
+    -> analyze (reference checkerboard_distance.py + analyze_validation.py
+    as one CLI chain)."""
+    import cv2
+
+    from test_cli_full_stack import COLS, ROWS, SQ, _render_frame
+    from stereo_vision_tpu.pipeline.stages import run_rectification_stage
+
+    K = np.array([[520.0, 0, 320.0], [0, 520.0, 200.0], [0, 0, 1.0]])
+    baseline = 400.0
+    rig = StereoRig(
+        K1=K, d1=np.zeros(8), K2=K, d2=np.zeros(8),
+        R=np.eye(3), T=np.array([-baseline, 0, 0]),
+    )
+    _save_rig(tmp_path, rig)
+    run_rectification_stage(ArtifactStore(tmp_path), (640, 400))
+
+    rvec = np.array([0.05, -0.04, 0.02])
+    tvec = np.array([-150.0, -80.0, 1900.0])
+    cv2.imwrite(str(tmp_path / "left.png"), _render_frame(K, rvec, tvec))
+    cv2.imwrite(str(tmp_path / "right.png"),
+                _render_frame(K, rvec, tvec + rig.T))
+
+    obj = np.array([[j * SQ, i * SQ, 0.0] for i in range(ROWS) for j in range(COLS)])
+    Rb = cv2.Rodrigues(rvec)[0]
+    gt = float(np.linalg.norm((obj @ Rb.T + tvec).mean(axis=0)))
+
+    rc = main([
+        "validate-distance", "--test-dir", str(tmp_path),
+        "--left", str(tmp_path / "left.png"),
+        "--right", str(tmp_path / "right.png"),
+        "--actual-distance", f"{gt:.1f}", "--board", f"{COLS}x{ROWS}",
+    ])
+    assert rc == 0  # within the 10% tolerance -> passed
+    out = _out_json(capsys)
+    assert abs(out["measured"] - gt) / gt < 0.02, (out["measured"], gt)
+    jsons = list((tmp_path / "results").glob("*_validation.json"))
+    assert len(jsons) == 1
+
+    rc = main(["analyze", "--results-dir", str(tmp_path / "results")])
+    assert rc == 0
+    rep = _out_json(capsys)
+    assert rep["runs"] == 1 and rep["mean_error_percent"] < 5.0
