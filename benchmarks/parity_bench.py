@@ -223,8 +223,17 @@ def config5() -> dict:
     jax.block_until_ready(disp)
     # Steady-state: N chained iterations in ONE jit (a single re-dispatch
     # under-counts through the remote tunnel and can hit its value cache).
+    # Three hazards handled explicitly: (a) inputs are device_put with the
+    # mesh sharding so the timed program IS the sharded pipeline; (b) the
+    # carry reduces over the FULL depth output, so the elementwise depth
+    # stage cannot be dead-code-eliminated down to one pixel; (c) the
+    # carry also touches a disparity pixel in the perturbed frame, keeping
+    # the iteration chain value-dependent.
     import functools
 
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from stereo_vision_tpu.parallel.mesh import DATA_AXIS
     from stereo_vision_tpu.parallel.streaming import batched_stereo_pipeline
     from stereo_vision_tpu.stereo.bm import StereoBMParams as _P
     from stereo_vision_tpu.utils.profiling import time_jitted
@@ -233,7 +242,19 @@ def config5() -> dict:
         batched_stereo_pipeline, maps=maps[:4], Q=Q, matcher="bm",
         params=_P(num_disparities=32, block_size=9),
     )
-    dt = time_jitted(lambda a, b: fn(a, b)[0], (jnp.asarray(l), jnp.asarray(l)), n=5)
+
+    def timed(a, b):
+        disp2, pts2 = fn(a, b)
+        return disp2, pts2
+
+    def reduce_out(out):
+        disp2, pts2 = out
+        z = jnp.where(jnp.isfinite(pts2[..., 2]), pts2[..., 2], 0.0)
+        return (jnp.sum(z) * 1e-9 + disp2[0, 8, 8]).astype(jnp.float32)
+
+    batch_sh = NamedSharding(mesh, PS(DATA_AXIS))
+    l_dev = jax.device_put(jnp.asarray(l), batch_sh)
+    dt = time_jitted(timed, (l_dev, l_dev), n=5, reduce_out=reduce_out)
     return {
         "config": "5_batched_streams_mesh",
         "devices": n,

@@ -319,7 +319,6 @@ def cmd_ball_drop(args) -> int:
     report = drop_report(traj, drop_height_mm=args.drop_height)
     out = Path(args.test_dir) / "results" / "ball_drop"
     out.mkdir(parents=True, exist_ok=True)
-    (out / "drop_report.json").write_text(json.dumps(report, indent=2))
     if args.animate:
         # Two-pane growing-path animation (reference ball_motion.py:578-648).
         from stereo_vision_tpu.pipeline.animations import create_rolling_animation
@@ -336,6 +335,8 @@ def cmd_ball_drop(args) -> int:
             centers(ld), centers(rd), ts, out / "ball_motion.mp4"
         )
         report["animation"] = str(out / "ball_motion.mp4")
+    # Written after --animate so the artifact records the animation path.
+    (out / "drop_report.json").write_text(json.dumps(report, indent=2))
     print(json.dumps({"stage": "ball_drop", "sync_offset": offset, **report}))
     return 0
 
