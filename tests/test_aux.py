@@ -129,3 +129,62 @@ class TestVideoIO:
         lp, rp = create_synchronized_videos(l, r, 5, 8, tmp_path / "out", duration_frames=10)
         assert video_info(lp)["frame_count"] == 10
         assert video_info(rp)["frame_count"] == 10
+
+
+class TestProfiling:
+    """utils/profiling: the measurement helpers (SURVEY §5 tracing row)."""
+
+    def test_time_jitted_measures_and_chains(self):
+        import jax.numpy as jnp
+
+        from stereo_vision_tpu.utils.profiling import time_jitted
+
+        x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+        dt = time_jitted(lambda a: a @ a.T + 1.0, (x,), n=3)
+        assert 0.0 < dt < 10.0
+
+    def test_time_jitted_perturbs_first_non_bool(self):
+        """A boolean first argument must not crash; the bump lands on the
+        first numeric leaf instead (round-2 review finding)."""
+        import jax.numpy as jnp
+
+        from stereo_vision_tpu.utils.profiling import time_jitted
+
+        mask = jnp.ones((8, 8), bool)
+        x = jnp.ones((8, 8), jnp.float32)
+        dt = time_jitted(lambda m, a: jnp.where(m, a, 0.0).sum()[None, None], (mask, x), n=2)
+        assert dt > 0.0
+
+    def test_time_jitted_all_bool_raises(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from stereo_vision_tpu.utils.profiling import time_jitted
+
+        m = jnp.ones((4, 4), bool)
+        with _pytest.raises(ValueError, match="perturb"):
+            time_jitted(lambda a: (~a).astype(jnp.float32), (m,), n=2)
+
+    def test_stage_timer_accumulates(self):
+        import time as _t
+
+        from stereo_vision_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t("work", pixels=1_000_000):
+            _t.sleep(0.01)
+        with t("work"):
+            _t.sleep(0.01)
+        m = t.metrics
+        assert m["work_ms"] >= 20.0 * 0.5  # two accumulated sleeps
+        assert m["work_mpx_per_s"] > 0
+
+    def test_trace_writes_profile(self, tmp_path):
+        import jax.numpy as jnp
+
+        from stereo_vision_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)):
+            _ = (jnp.ones((32, 32)) @ jnp.ones((32, 32))).block_until_ready()
+        files = list(tmp_path.rglob("*"))
+        assert files, "trace directory is empty"
