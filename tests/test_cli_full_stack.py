@@ -142,3 +142,29 @@ def test_full_calibration_workflow(test_dir, capsys):
     assert rc == 0
     R1, R2, P1, P2, Q = store.load_rectification()
     assert Q.shape == (4, 4)
+
+    # Distance validation with the ESTIMATED calibration (not ground
+    # truth): the reference's headline accuracy claim (~6% distance error,
+    # BASELINE.md) — the rendered rig should do far better.
+    rvec_v = np.array([0.03, -0.05, 0.01])
+    tvec_v = np.array([-170.0, -70.0, 1500.0])
+    cv2.imwrite(str(test_dir / "val_left.png"), _render_frame(K_TRUE, rvec_v, tvec_v))
+    Rv = cv2.Rodrigues(rvec_v)[0]
+    # right view: board pose in cam2 coordinates (X2 = R X1 + T).
+    R2_pose = R_TRUE @ Rv
+    t2_pose = R_TRUE @ tvec_v + T_TRUE
+    cv2.imwrite(
+        str(test_dir / "val_right.png"),
+        _render_frame(K_TRUE, cv2.Rodrigues(R2_pose)[0].ravel(), t2_pose),
+    )
+    obj = np.array([[j * SQ, i * SQ, 0.0] for i in range(ROWS) for j in range(COLS)])
+    gt_dist = float(np.linalg.norm((obj @ Rv.T + tvec_v).mean(axis=0)))
+    rc = main([
+        "validate-distance", "--test-dir", str(test_dir),
+        "--left", str(test_dir / "val_left.png"),
+        "--right", str(test_dir / "val_right.png"),
+        "--actual-distance", f"{gt_dist:.1f}", "--board", board,
+    ])
+    assert rc == 0  # within the 10% pass tolerance
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["error_percent"] < 5.0, rep  # beats the reference's ~6%
