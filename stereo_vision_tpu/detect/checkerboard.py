@@ -18,7 +18,6 @@ host escape hatch is kept behind the same interface
 from __future__ import annotations
 
 import functools
-import itertools
 import logging
 
 import jax
@@ -232,6 +231,44 @@ def _homography_4pt(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
     return H / H[2, 2]
 
 
+def _max_area_quad(hp: np.ndarray) -> np.ndarray | None:
+    """Maximum-area quadrilateral with vertices on a convex polygon
+    (CCW-ordered). O(h^2) rotating-pointer algorithm instead of the
+    C(h,4) brute force (with lens distortion ~26 hull points survive the
+    collinearity pop, and the brute force was a per-frame hot spot).
+
+    For vertices in linear hull order i < a < j < b the area splits into
+    triangles (i, a, j) + (i, j, b); for fixed (i, j) each apex is
+    unimodal along its arc by convexity, so the apex pointers only move
+    forward as j sweeps.
+    """
+    h = len(hp)
+    if h < 4:
+        return None
+    x, y = hp[:, 0], hp[:, 1]
+
+    def tri(i, a, j):  # 2x triangle area (abs cross product)
+        return abs((x[a] - x[i]) * (y[j] - y[i]) - (x[j] - x[i]) * (y[a] - y[i]))
+
+    best_area, best = -1.0, None
+    for i in range(h - 3):
+        pa, pb = i + 1, i + 3
+        for j in range(i + 2, h - 1):
+            pa = min(pa, j - 1)
+            while pa + 1 < j and tri(i, pa + 1, j) >= tri(i, pa, j):
+                pa += 1
+            pb = max(pb, j + 1)
+            while pb + 1 < h and tri(i, j, pb + 1) >= tri(i, j, pb):
+                pb += 1
+            area = tri(i, pa, j) + tri(i, j, pb)
+            if area > best_area:
+                best_area, best = area, (i, pa, j, pb)
+    if best is None:
+        return None
+    i, a, j, b = best
+    return hp[[i, a, j, b]]  # hull order -> simple polygon
+
+
 def _order_grid(points: np.ndarray, cols: int, rows: int) -> np.ndarray | None:
     """Order N=cols*rows scattered corners row-major, robust to arbitrary
     rotation and perspective foreshortening.
@@ -252,16 +289,7 @@ def _order_grid(points: np.ndarray, cols: int, rows: int) -> np.ndarray | None:
     h = len(hull)
     if h < 4:
         return None
-    # Max-area quadrilateral over hull vertices (hull is small: brute force).
-    hp = pts[hull]
-    best_quad, best_area = None, -1.0
-    for comb in itertools.combinations(range(h), 4):
-        q = hp[list(comb)]  # in hull (CCW) order -> simple polygon
-        area = 0.5 * abs(
-            np.dot(q[:, 0], np.roll(q[:, 1], -1)) - np.dot(q[:, 1], np.roll(q[:, 0], -1))
-        )
-        if area > best_area:
-            best_area, best_quad = area, q
+    best_quad = _max_area_quad(pts[hull])
     if best_quad is None:
         return None
 

@@ -187,11 +187,13 @@ class HostedDetectorClient:
             return image[y1:y2, x1:x2], x1, y1
 
         # Color gate: prefer predictions whose box holds enough ball color.
+        # hsv_range=None means "no color gate" (matching _refine_circle).
         colored = []
-        for p in preds:
-            region, _, _ = crop(p["x"], p["y"], p["width"] / 2, p["height"] / 2)
-            if region.size and color_fraction(region, self.hsv_range) > self.color_min_percent:
-                colored.append(p)
+        if self.hsv_range is not None:
+            for p in preds:
+                region, _, _ = crop(p["x"], p["y"], p["width"] / 2, p["height"] / 2)
+                if region.size and color_fraction(region, self.hsv_range) > self.color_min_percent:
+                    colored.append(p)
         pool = colored or list(preds)
         if not pool:
             return None

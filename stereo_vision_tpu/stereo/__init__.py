@@ -9,6 +9,7 @@ cv2.StereoBM / cv2.StereoSGBM.
 
 from stereo_vision_tpu.stereo.bm import StereoBMParams, stereo_bm
 from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
+from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier
 from stereo_vision_tpu.stereo.depth import reproject_disparity_to_3d, depth_from_disparity
 from stereo_vision_tpu.stereo.postprocess import speckle_filter, left_right_check
 
@@ -17,6 +18,8 @@ __all__ = [
     "stereo_bm",
     "StereoSGBMParams",
     "stereo_sgbm",
+    "HierParams",
+    "stereo_sgbm_hier",
     "reproject_disparity_to_3d",
     "depth_from_disparity",
     "speckle_filter",

@@ -1,0 +1,281 @@
+"""Hierarchical (coarse-to-fine) SGBM: full-range quality at band cost.
+
+Capability extension per /root/repo/BASELINE.json north_star (>= 500
+Mpx/s/chip at >= 98% cv2 agreement; the reference jacksonroah/stereo-vision
+has no dense stereo at all, SURVEY.md §0). Every dominant cost of exact
+SGBM is proportional to the disparity count D (docs/sgbm_roofline.md):
+this mode replaces the full-D search with a coarse prior plus a full-
+resolution search over a BAND of ``band`` disparities around it.
+
+TPU-first design (absolute-disparity banding; see stereo/banded.py for
+why a warped-image formulation was rejected by measurement):
+
+1. Coarse pass: plain SGBM on a ``factor``-downsampled pair with
+   D/factor disparities (1/factor^3 of the full-res work).
+2. Shift map ``s(y, x)``: the coarse prior is min/max-pooled, the band
+   anchored to cover the local range (foreground-first at
+   discontinuities), quantized to multiples of ``granularity`` G,
+   made piecewise-constant on (f*t x f*t) tiles, and G-Lipschitz-limited
+   across tiles by an exact separable MAX-minus (upper-envelope)
+   transform — so every per-pixel band operation is a select among a
+   small static set of lane shifts, never a gather (the round-1 RULE:
+   no gathers when the index set is small + static).
+3. Banded core (stereo/banded.py): windowed BT cost, 8/4-direction SGM
+   aggregation and WTA over ``band`` lanes, where lane k at pixel p
+   means ABSOLUTE disparity s(p) + k and every cross-pixel op aligns
+   lanes by the shift delta first. Banding is exact-SGM wherever each
+   path predecessor's winner lies inside the band (out-of-band lanes
+   contribute minL + P2, the same value cv2 assigns far-away lanes).
+4. Absolute disparity = k + s(p), then the FULL-range LR consistency
+   check and speckle filter from the exact path.
+
+Semantics vs cv2 full-D SGBM: identical wherever the true winner and
+the paths' predecessors lie inside the band. Uniqueness is band-local
+(a far-away ambiguity cv2 would see is outside the band). The mode
+ships gated on measured agreement (bench.py asserts >= 98% within-1px
+on a rendered scene; tests/test_hier.py pins per-scene agreement).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_vision_tpu.stereo.sgbm import (
+    StereoSGBMParams,
+    lr_fail,
+    subpixel_disp16,
+)
+from stereo_vision_tpu.stereo.postprocess import speckle_filter
+
+
+class HierParams(NamedTuple):
+    """Coarse-to-fine configuration.
+
+    band: disparity lanes searched at full resolution (multiple of 16).
+    granularity: quantum G of the shift map; adjacent tiles differ by at
+      most G. band - granularity is the guaranteed usable band around a
+      locally-flat prior.
+    coarse_factor: downsample factor f of the coarse pass.
+    tile: shift-map tile side in COARSE pixels (full-res side = f * tile).
+    margin: disparities of slack added beyond the pooled local min/max.
+    local_window: min/max pooling radius in coarse pixels around each
+      coarse pixel when computing the local disparity range.
+    """
+
+    band: int = 32
+    granularity: int = 16
+    coarse_factor: int = 4
+    tile: int = 2
+    margin: float = 4.0
+    local_window: int = 0
+    coarse_uniqueness: int = 10
+    coarse_lr: int = 1
+    anchor_hi: bool = True
+
+
+def _downsample_box(img: jnp.ndarray, f: int) -> jnp.ndarray:
+    """f x f box-mean downsample, rounded back to integer levels."""
+    H, W = img.shape
+    Hc, Wc = H // f, W // f
+    x = img[: Hc * f, : Wc * f].astype(jnp.float32)
+    x = x.reshape(Hc, f, Wc, f).mean(axis=(1, 3))
+    return jnp.round(x).astype(jnp.int32)
+
+
+def _fill_invalid(disp: jnp.ndarray, invalid_below: float, rounds: int = 12) -> jnp.ndarray:
+    """Fill invalid coarse-prior pixels from the MIN of valid 4-neighbors
+    (cv2-style occlusion fill: occluded regions belong to the background,
+    i.e. the smaller disparity side). Remaining holes -> 0."""
+    H, W = disp.shape
+    big = jnp.float32(1e9)
+
+    def nb(a, dy, dx, fill):
+        ap = jnp.pad(a, ((1, 1), (1, 1)), constant_values=fill)
+        return ap[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+
+    def body(_, d):
+        valid = d >= invalid_below
+        dv = jnp.where(valid, d, big)
+        m = jnp.minimum(
+            jnp.minimum(nb(dv, 1, 0, big), nb(dv, -1, 0, big)),
+            jnp.minimum(nb(dv, 0, 1, big), nb(dv, 0, -1, big)),
+        )
+        return jnp.where(valid | (m >= big), d, m)
+
+    d = jax.lax.fori_loop(0, rounds, body, disp.astype(jnp.float32))
+    return jnp.where(d >= invalid_below, d, 0.0)
+
+
+def _pool(a: jnp.ndarray, r: int, op) -> jnp.ndarray:
+    """(2r+1)^2 min/max pool via static shifts (replicate borders)."""
+    H, W = a.shape
+    out = a
+    ap = jnp.pad(a, ((r, r), (r, r)), mode="edge")
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = op(out, ap[r + dy : r + dy + H, r + dx : r + dx + W])
+    return out
+
+
+def _minplus_1d(a: jnp.ndarray, slope: float, axis: int) -> jnp.ndarray:
+    """Exact 1-D lower-envelope transform f[i] = min_j a[j] + slope*|i-j|
+    via log2(n) doubling rounds of shift-and-min."""
+    n = a.shape[axis]
+    big = jnp.float32(1e9)
+
+    def shift(x, k):
+        pad = [(0, 0), (0, 0)]
+        if k > 0:
+            pad[axis] = (k, 0)
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, -k)
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(-k, n - k)
+        return jnp.pad(x, pad, constant_values=big)[tuple(sl)]
+
+    step = 1
+    while step < n:
+        a = jnp.minimum(a, jnp.minimum(shift(a, step), shift(a, -step)) + slope * step)
+        step *= 2
+    return a
+
+
+def shift_map(
+    coarse_disp: jnp.ndarray,
+    num_disparities: int,
+    hp: HierParams,
+    coarse_invalid_below: float = 0.0,
+) -> jnp.ndarray:
+    """Build the full-resolution shift map s from the coarse disparity.
+
+    Returns (Hc*f, Wc*f) int32, values in {0, G, 2G, ..., D - band},
+    piecewise-constant on (f*tile x f*tile) tiles, with |s(p) - s(q)| <= G
+    for tile-adjacent p, q (city-block Lipschitz).
+    """
+    D, B, G, f, t = (
+        num_disparities, hp.band, hp.granularity, hp.coarse_factor, hp.tile,
+    )
+    prior = _fill_invalid(coarse_disp, coarse_invalid_below) * f  # full-scale disparity
+    lo = _pool(prior, hp.local_window, jnp.minimum) - hp.margin
+    hi = _pool(prior, hp.local_window, jnp.maximum) + hp.margin
+
+    # Per-tile range (tiles of t x t coarse px).
+    Hc, Wc = prior.shape
+    Ht, Wt = Hc // t, Wc // t
+    lo_t = lo[: Ht * t, : Wt * t].reshape(Ht, t, Wt, t).min(axis=(1, 3))
+    hi_t = hi[: Ht * t, : Wt * t].reshape(Ht, t, Wt, t).max(axis=(1, 3))
+
+    # Band placement covering the centre of [lo, hi], on the G grid; when
+    # the interval [hi - B, lo] of fully-covering offsets is non-empty,
+    # clamp the quantized centre into it (guaranteeing full coverage
+    # whenever one exists on the grid). When the local range EXCEEDS the
+    # band (a disparity discontinuity), anchor to the high side: the
+    # low-disparity pixels near such an edge are half-occluded and get
+    # LR-invalidated by cv2 anyway, while the foreground must be covered
+    # (measured: +1.5% agreement on a 50-px-jump scene).
+    s = jnp.round((lo_t + hi_t - B) / 2.0)
+    if hp.anchor_hi:
+        s = jnp.maximum(s, hi_t + hp.margin - B)
+    s = jnp.round(s / G) * G
+    lo_ok = jnp.floor(lo_t / G) * G            # largest grid point <= lo
+    hi_ok = jnp.ceil((hi_t - B) / G) * G       # smallest grid point >= hi - B
+    cover = hi_ok <= lo_ok
+    s = jnp.where(cover, jnp.clip(s, hi_ok, lo_ok), s)
+    s = jnp.clip(s, 0.0, float(D - B))
+
+    # No Lipschitz smoothing: banded.align_band treats |delta| > G as a
+    # non-overlapping predecessor and resets to the border rule, which is
+    # the correct restricted-SGM semantics at real discontinuities. Both
+    # smoothing variants were measured WORSE (min-plus pulls foreground
+    # bands down: -2% on a 50-px-jump scene; max-minus spreads foreground
+    # over background: -2.3% on the occlusion scene, -17% textureless).
+    s = jnp.clip(s, 0.0, float(D - B)).astype(jnp.int32)
+
+    # Upsample tiles to pixels.
+    return jnp.repeat(jnp.repeat(s, f * t, axis=0), f * t, axis=1)
+
+
+def stereo_sgbm_hier(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoSGBMParams = StereoSGBMParams(),
+    hp: HierParams = HierParams(),
+) -> jnp.ndarray:
+    """Hierarchical SGBM disparity (see module docstring).
+
+    Drop-in for :func:`stereo_sgbm` (same output convention: (H, W)
+    float32, invalid = -1, valid region x >= num_disparities) at a
+    fraction of the compute; agreement vs cv2 full-D is measured, not
+    bit-exact (tests/test_hier.py, bench.py gate).
+    """
+    assert params.min_disparity == 0, "hier mode assumes min_disparity == 0"
+    D = params.num_disparities
+    B, G, f = hp.band, hp.granularity, hp.coarse_factor
+    assert D % (f * 16) == 0 and B % 16 == 0 and (D - B) % G == 0
+    H, W = left.shape
+
+    # 1. Coarse prior.
+    coarse_params = params._replace(
+        num_disparities=D // f,
+        uniqueness_ratio=hp.coarse_uniqueness,
+        disp12_max_diff=hp.coarse_lr,
+        speckle_window_size=0,
+        num_paths=4,
+    )
+    from stereo_vision_tpu.stereo.sgbm import stereo_sgbm
+
+    disp_c = stereo_sgbm(_downsample_box(left, f), _downsample_box(right, f), coarse_params)
+
+    # 2. Shift map.
+    s = shift_map(disp_c, D, hp)
+    sH, sW = s.shape
+    if (sH, sW) != (H, W):  # H or W not divisible by f*tile: edge-extend
+        s = jnp.pad(s, ((0, H - sH), (0, W - sW)), mode="edge")
+
+    # 3. Banded core (absolute-disparity lanes, aligned window/carries) at
+    # the full range's valid region (x >= D, like cv2 full-D).
+    backend = params.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+    from stereo_vision_tpu.stereo.banded import banded_stats_scan
+
+    minS, k, sm, s0, sp, unique_ok = banded_stats_scan(
+        left, right, s, params, B, G, min_x=D
+    )
+
+    # 4. Absolute disparity + full-range postprocessing.
+    sub16 = subpixel_disp16(k, sm, s0, sp, B)
+    s_v = s[:, D:]
+    best_abs = k + s_v
+    disp = (sub16 + 16 * s_v).astype(jnp.float32) / 16.0
+
+    valid = unique_ok
+    if params.disp12_max_diff >= 0:
+        valid = valid & ~lr_fail(
+            minS, best_abs, disp,
+            W=W, min_x=D, ndisp=D, mindisp=0,
+            max_diff=params.disp12_max_diff, backend=backend,
+        )
+
+    disp = jnp.where(valid, disp, jnp.float32(-1.0))
+    full = jnp.full((H, W), -1.0, jnp.float32)
+    full = jax.lax.dynamic_update_slice(full, disp, (0, D))
+
+    if params.speckle_window_size > 0:
+        full = speckle_filter(
+            full,
+            max_diff=float(params.speckle_range),
+            max_speckle_size=params.speckle_window_size,
+            invalid_value=-1.0,
+        )
+    return full
+
+
+stereo_sgbm_hier_jit = jax.jit(stereo_sgbm_hier, static_argnames=("params", "hp"))

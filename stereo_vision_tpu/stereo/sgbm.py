@@ -246,8 +246,8 @@ def _aggregate_8(C, P1, P2, backend: str = "scan", num_paths: int = 8):
     return S + Sh[0] + jnp.flip(Sh[1], 1)
 
 
-def compute_cost_volume(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGBMParams) -> jnp.ndarray:
-    """(H, W, D) windowed BT cost (sobel channel + raw>>2 channel)."""
+def compute_pixel_cost(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGBMParams) -> jnp.ndarray:
+    """(H, W, D) per-pixel (unwindowed) BT cost (sobel + raw>>2 channels)."""
     ftzero = params.ftzero
     ndisp = params.num_disparities
     mindisp = params.min_disparity
@@ -258,27 +258,35 @@ def compute_cost_volume(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGB
     pix = c_sobel + (c_raw >> 2)  # int16; <= ~190+63 per pixel
     if params.block_size > 11:  # bs^2 * 253 would overflow int16
         pix = pix.astype(jnp.int32)
+    return pix
+
+
+def compute_cost_volume(left: jnp.ndarray, right: jnp.ndarray, params: StereoSGBMParams) -> jnp.ndarray:
+    """(H, W, D) windowed BT cost (sobel channel + raw>>2 channel)."""
+    pix = compute_pixel_cost(left, right, params)
     return _box_filter_same(pix, params.block_size)
 
 
-def stereo_sgbm(
+def sgbm_stats(
     left: jnp.ndarray,
     right: jnp.ndarray,
-    params: StereoSGBMParams = StereoSGBMParams(),
-) -> jnp.ndarray:
-    """Dense SGBM disparity (cv2.StereoSGBM MODE_HH parity).
+    params: StereoSGBMParams,
+    min_x: int | None = None,
+):
+    """Cost build + aggregation + WTA on columns ``x >= min_x``.
 
-    Args:
-      left, right: (H, W) uint8/int grayscale rectified pair.
+    The reusable core of :func:`stereo_sgbm` — the hierarchical mode
+    (stereo_vision_tpu.stereo.hier) runs it on a prior-warped pair with a
+    band-sized ``num_disparities`` but the FULL-range ``min_x``.
 
-    Returns:
-      (H, W) float32 disparity; invalid = ``min_disparity - 1``.
+    Returns ``(minS, best, sm, s0, sp, unique_ok)`` int32/bool maps of
+    shape ``(H, W - min_x)``.
     """
     H, W = left.shape
     ndisp = params.num_disparities
     mindisp = params.min_disparity
     maxD = mindisp + ndisp
-    minX1 = max(maxD, 0)
+    minX1 = max(maxD, 0) if min_x is None else int(min_x)
     P1, P2 = params.P1, params.P2
 
     backend = params.backend
@@ -307,7 +315,6 @@ def stereo_sgbm(
     else:
         C_full = compute_cost_volume(left, right, params)  # (H, W, D)
         C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
-    Wv = C.shape[1]
 
     if backend == "pallas":
         # Fused aggregation + WTA: the four direction partial volumes feed
@@ -330,55 +337,85 @@ def stereo_sgbm(
         unique_ok = uok_f > 0.5
     else:
         S = _aggregate_8(C, P1, P2, backend=backend, num_paths=params.num_paths)
-        best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
-        minS = jnp.min(S, axis=-1)
+        minS, best, sm, s0, sp, unique_ok = wta_scan(S, ndisp, params.uniqueness_ratio)
 
-        # Uniqueness: minS*(100+U) > S[d]*100 for |d - best| > 1 -> invalid.
-        ds = jnp.arange(ndisp).reshape(1, 1, ndisp)
-        if params.uniqueness_ratio > 0:
-            offender = (
-                minS[..., None] * (100 + params.uniqueness_ratio) > S * 100
-            ) & (jnp.abs(ds - best[..., None]) > 1)
-            unique_ok = ~jnp.any(offender, axis=-1)
-        else:
-            unique_ok = jnp.ones_like(best, dtype=bool)
+    return minS, best, sm, s0, sp, unique_ok
 
-        d0 = jnp.clip(best, 1, ndisp - 2)
-        take = lambda i: jnp.take_along_axis(S, i[..., None], axis=-1)[..., 0]
-        s0, sm, sp = take(d0), take(d0 - 1), take(d0 + 1)
 
-    # Subpixel (cv2 integer semantics, DISP_SCALE = 16):
-    #   d*16 + ((S[d-1]-S[d+1])*16 + denom2) / (denom2*2), C integer division.
+def wta_scan(S: jnp.ndarray, ndisp: int, uniqueness_ratio: int):
+    """WTA + uniqueness + subpixel samples from an aggregated volume
+    (scan-backend reference; the Pallas WTA kernels are bit-identical)."""
+    best = jnp.argmin(S, axis=-1)  # ties -> smallest d (cv2 scan order)
+    minS = jnp.min(S, axis=-1)
+
+    # Uniqueness: minS*(100+U) > S[d]*100 for |d - best| > 1 -> invalid.
+    ds = jnp.arange(ndisp).reshape(1, 1, ndisp)
+    if uniqueness_ratio > 0:
+        offender = (
+            minS[..., None] * (100 + uniqueness_ratio) > S * 100
+        ) & (jnp.abs(ds - best[..., None]) > 1)
+        unique_ok = ~jnp.any(offender, axis=-1)
+    else:
+        unique_ok = jnp.ones_like(best, dtype=bool)
+
+    d0 = jnp.clip(best, 1, ndisp - 2)
+    take = lambda i: jnp.take_along_axis(S, i[..., None], axis=-1)[..., 0]
+    s0, sm, sp = take(d0), take(d0 - 1), take(d0 + 1)
+    return minS, best, sm, s0, sp, unique_ok
+
+
+def subpixel_disp16(best, sm, s0, sp, ndisp: int):
+    """cv2 subpixel parabola (integer semantics, DISP_SCALE = 16):
+    d*16 + ((S[d-1]-S[d+1])*16 + denom2) / (denom2*2), C integer division.
+    Returns the 16x fixed-point disparity (int32)."""
     denom2 = jnp.maximum(sm + sp - 2 * s0, 1)
     num = (sm - sp) * 16 + denom2
-    sub16 = jnp.where(
+    return jnp.where(
         (best > 0) & (best < ndisp - 1),
         best * 16 + _c_div(num, denom2 * 2),
         best * 16,
     )
-    disp = sub16.astype(jnp.float32) / 16.0 + mindisp
 
-    valid = unique_ok
 
-    # LR consistency: project minS onto right-image coordinates.
-    if params.disp12_max_diff >= 0 and backend == "pallas" and _LR_PALLAS:
+def lr_fail(
+    minS: jnp.ndarray,
+    best: jnp.ndarray,
+    disp: jnp.ndarray,
+    *,
+    W: int,
+    min_x: int,
+    ndisp: int,
+    mindisp: int,
+    max_diff: int,
+    backend: str = "scan",
+) -> jnp.ndarray:
+    """cv2 LR-consistency failure mask on the valid-region maps.
+
+    ``best`` is the integer WTA disparity (absolute, without mindisp
+    added), ``disp`` the float disparity (with mindisp). ``ndisp`` is the
+    FULL disparity range — for hierarchical/banded modes this exceeds the
+    band the stats were computed over.
+    """
+    H, Wv = minS.shape
+    maxD = mindisp + ndisp
+    minX1 = min_x
+
+    if backend == "pallas" and _LR_PALLAS:
         from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas
 
         d_f = jnp.floor(disp).astype(jnp.int32)
         d_c = jnp.ceil(disp).astype(jnp.int32)
-        fail = lr_fail_pallas(
+        return lr_fail_pallas(
             minS.astype(jnp.int32), best.astype(jnp.int32), d_f, d_c,
-            W, ndisp, mindisp, params.disp12_max_diff,
+            W, ndisp, mindisp, max_diff,
         )
-        valid = valid & ~fail
-    elif params.disp12_max_diff >= 0:
+    else:
         # disp2[x2] = argmin-cost disparity among left pixels x = x2 + d
         # whose WTA winner is exactly d (cv2's packed projection). The
         # reference formulation is a scatter-min; scatters serialize on
         # TPU, so build it as D static shifts + a min-reduce instead.
         assert ndisp + abs(mindisp) < (1 << 11), "disparity exceeds pack field"
         assert mindisp >= 0, "gather LR-check assumes min_disparity >= 0"
-        xs = jnp.arange(Wv) + minX1  # full-frame x of each valid column
         pack = (minS.astype(jnp.int32) * (1 << 11) + (best + mindisp)).astype(jnp.int32)
         sentinel = jnp.int32(1 << 30)
         # Left-pixel arrays in full-frame x; pad so x2 + d slices statically.
@@ -425,9 +462,45 @@ def stereo_sgbm(
             v_f = jnp.where(d_f == dd, sh, v_f)
             v_c = jnp.where(d_c == dd, sh, v_c)
 
-        fail_f = (v_f >= mindisp) & (jnp.abs(v_f - d_f) > params.disp12_max_diff)
-        fail_c = (v_c >= mindisp) & (jnp.abs(v_c - d_c) > params.disp12_max_diff)
-        valid = valid & ~(fail_f & fail_c)
+        fail_f = (v_f >= mindisp) & (jnp.abs(v_f - d_f) > max_diff)
+        fail_c = (v_c >= mindisp) & (jnp.abs(v_c - d_c) > max_diff)
+        return fail_f & fail_c
+
+
+def stereo_sgbm(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoSGBMParams = StereoSGBMParams(),
+) -> jnp.ndarray:
+    """Dense SGBM disparity (cv2.StereoSGBM MODE_HH parity).
+
+    Args:
+      left, right: (H, W) uint8/int grayscale rectified pair.
+
+    Returns:
+      (H, W) float32 disparity; invalid = ``min_disparity - 1``.
+    """
+    H, W = left.shape
+    ndisp = params.num_disparities
+    mindisp = params.min_disparity
+    minX1 = max(mindisp + ndisp, 0)
+
+    backend = params.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+
+    minS, best, sm, s0, sp, unique_ok = sgbm_stats(left, right, params)
+
+    sub16 = subpixel_disp16(best, sm, s0, sp, ndisp)
+    disp = sub16.astype(jnp.float32) / 16.0 + mindisp
+
+    valid = unique_ok
+    if params.disp12_max_diff >= 0:
+        valid = valid & ~lr_fail(
+            minS, best, disp,
+            W=W, min_x=minX1, ndisp=ndisp, mindisp=mindisp,
+            max_diff=params.disp12_max_diff, backend=backend,
+        )
 
     invalid_val = float(mindisp - 1)
     disp = jnp.where(valid, disp, jnp.float32(invalid_val))

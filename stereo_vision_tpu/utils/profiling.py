@@ -109,6 +109,7 @@ class StageTimer:
 
     def __init__(self):
         self._ms: dict[str, float] = {}
+        self._px: dict[str, int] = {}
 
     @contextlib.contextmanager
     def __call__(self, name: str, pixels: int | None = None):
@@ -119,8 +120,13 @@ class StageTimer:
             dt = time.perf_counter() - t0
             self._ms[f"{name}_ms"] = self._ms.get(f"{name}_ms", 0.0) + dt * 1e3
             if pixels:
-                self._ms[f"{name}_mpx_per_s"] = pixels / dt / 1e6
+                # Accumulate pixels alongside time so a reused stage name
+                # reports throughput over ALL its intervals, not the last.
+                self._px[name] = self._px.get(name, 0) + pixels
 
     @property
     def metrics(self) -> dict[str, float]:
-        return dict(self._ms)
+        out = dict(self._ms)
+        for name, px in self._px.items():
+            out[f"{name}_mpx_per_s"] = px / self._ms[f"{name}_ms"] / 1e3
+        return out

@@ -218,3 +218,35 @@ class TestCheckerboard:
         err_after = np.linalg.norm(refined - gt, axis=1).mean()
         assert err_after < err_before
         assert err_after < 0.5
+
+
+class TestMaxAreaQuad:
+    """_max_area_quad (rotating pointers) must match the C(h,4) brute
+    force it replaced (ADVICE r2: the brute force was a per-frame hot
+    spot at ~26 hull points)."""
+
+    def test_matches_brute_force(self):
+        import itertools
+        from stereo_vision_tpu.detect.checkerboard import _convex_hull, _max_area_quad
+
+        rng = np.random.default_rng(7)
+        for trial in range(30):
+            pts = rng.uniform(0, 100, (rng.integers(6, 40), 2))
+            hull = _convex_hull(pts)
+            if len(hull) < 4:
+                continue
+            hp = pts[hull]
+            best = -1.0
+            for comb in itertools.combinations(range(len(hp)), 4):
+                q = hp[list(comb)]
+                area = 0.5 * abs(
+                    np.dot(q[:, 0], np.roll(q[:, 1], -1))
+                    - np.dot(q[:, 1], np.roll(q[:, 0], -1))
+                )
+                best = max(best, area)
+            quad = _max_area_quad(hp)
+            area = 0.5 * abs(
+                np.dot(quad[:, 0], np.roll(quad[:, 1], -1))
+                - np.dot(quad[:, 1], np.roll(quad[:, 0], -1))
+            )
+            assert area >= best - 1e-9, (trial, area, best)

@@ -1,0 +1,161 @@
+"""Hierarchical (coarse-to-fine) SGBM: structure + cv2 agreement.
+
+The hier mode is not bit-exact vs cv2 full-D by design (BASELINE.json
+contract is >= 98% within-1px / <= 1px EPE, not bit-parity); these tests
+pin (a) the shift-map invariants the gather-free banded machinery relies
+on, (b) EXACT equality with the full path when the band covers the whole
+range (the banded assembly must introduce zero deviation), and (c)
+measured per-scene agreement vs cv2.StereoSGBM full-D.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
+from stereo_vision_tpu.stereo.banded import align_band, lane_shift
+from stereo_vision_tpu.stereo.hier import (
+    HierParams,
+    shift_map,
+    stereo_sgbm_hier,
+)
+from tests.test_stereo_parity import (
+    agreement,
+    occlusion_pair,
+    repeated_texture_pair,
+    synthetic_pair,
+)
+
+FULL = dict(
+    num_disparities=128, block_size=5, uniqueness_ratio=10,
+    disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
+)
+
+
+def bigjump_pair(h=240, w=512, seed=3, noise=1.5):
+    """Textured ramp + a foreground plane 50+ px in front: the disparity
+    jump exceeds the default band, exercising the anchor-hi placement and
+    the non-overlap reset semantics."""
+    rng = np.random.default_rng(seed)
+    pad = 128
+    base = rng.uniform(0, 255, (h, w + pad)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 1.5)
+    base = cv2.normalize(base, None, 0, 255, cv2.NORM_MINMAX)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    disp = 20.0 + 40.0 * xx / w + 20.0 * yy / h
+    disp[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3] = 90.0
+    left = cv2.remap(base, xx + pad - disp, yy, cv2.INTER_LINEAR)
+    right = cv2.remap(base, xx + pad, yy, cv2.INTER_LINEAR)
+    f = lambda a: np.clip(a + rng.normal(0, noise, a.shape), 0, 255).astype(np.uint8)
+    return f(left), f(right), disp
+
+
+def _cv_full(p: StereoSGBMParams, left, right):
+    return cv2.StereoSGBM_create(
+        minDisparity=0, numDisparities=p.num_disparities, blockSize=p.block_size,
+        P1=p.P1, P2=p.P2, disp12MaxDiff=p.disp12_max_diff,
+        preFilterCap=p.prefilter_cap, uniquenessRatio=p.uniqueness_ratio,
+        speckleWindowSize=p.speckle_window_size, speckleRange=p.speckle_range,
+        mode=cv2.STEREO_SGBM_MODE_HH,
+    ).compute(left, right)
+
+
+class TestShiftMap:
+    def test_invariants(self):
+        """Grid-quantized, in range, tile-constant."""
+        hp = HierParams()
+        D, G = 128, hp.granularity
+        rng = np.random.default_rng(0)
+        Hc, Wc = 48, 80
+        d = 5.0 + 20.0 * np.mgrid[0:Hc, 0:Wc][1] / Wc
+        d[10:30, 20:50] = 28.0
+        d[rng.random((Hc, Wc)) < 0.1] = -1.0  # invalid holes
+        s = np.asarray(shift_map(jnp.asarray(d, jnp.float32), D, hp))
+        assert s.shape == (Hc * 4, Wc * 4)
+        assert (s % G == 0).all()
+        assert s.min() >= 0 and s.max() <= D - hp.band
+        t = s.reshape(Hc // 2, 8, Wc // 2, 8)
+        assert (t == t[:, :1, :, :1]).all()  # tile-constant on 8x8 tiles
+
+    def test_band_covers_smooth_prior(self):
+        """For a smooth prior well inside the range, every pixel's true
+        disparity must lie strictly inside the band."""
+        hp = HierParams()
+        Hc, Wc = 40, 64
+        d = 10.0 + 15.0 * np.mgrid[0:Hc, 0:Wc][1] / Wc  # full-scale 40..100
+        s = np.asarray(shift_map(jnp.asarray(d / 4.0, jnp.float32), 128, hp))
+        full = np.repeat(np.repeat(d, 4, 0), 4, 1)
+        k = full - s
+        assert (k >= 1).all() and (k <= hp.band - 2).all()
+
+
+class TestAlignBand:
+    def test_shift_and_reset(self):
+        G, B = 16, 32
+        a = jnp.arange(B, dtype=jnp.int32)[None, :] + 100
+        big = 1 << 29
+        # +G: out[k] = a[k+G]
+        out = np.asarray(align_band(a, jnp.array([G]), G, fill=big))
+        assert (out[0, : B - G] == 100 + G + np.arange(B - G)).all()
+        assert (out[0, B - G :] == big).all()
+        # non-overlapping delta -> full reset
+        out = np.asarray(align_band(a, jnp.array([2 * G]), G, fill=big))
+        assert (out == big).all()
+        # replicate-clamp mode saturates instead
+        out = np.asarray(align_band(a, jnp.array([4 * G]), G, fill=None))
+        np.testing.assert_array_equal(
+            out[0], np.asarray(lane_shift(a, G, None))[0]
+        )
+
+
+class TestHierAssemblyExact:
+    def test_band_equals_full_range_is_exact(self):
+        """band == D forces s == 0 everywhere; the banded core (aligned
+        window, aligned scans, WTA) and assembly must then reproduce
+        stereo_sgbm bit-for-bit."""
+        left, right, _ = synthetic_pair(h=160, w=384, max_disp=64, seed=3)
+        p = StereoSGBMParams(
+            num_disparities=64, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=50, speckle_range=2,
+        )
+        hp = HierParams(band=64, granularity=16, coarse_factor=2)
+        full = np.asarray(stereo_sgbm(jnp.asarray(left), jnp.asarray(right), p))
+        hier = np.asarray(stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, hp))
+        np.testing.assert_array_equal(hier, full)
+
+
+class TestHierAgreement:
+    """Measured 2026-08-17 (CPU scan backend, D=128, 240x512, defaults
+    band=32/G=16/local_window=0/anchor_hi): ramp 0.9972, occlusion
+    0.9924, repeated texture 1.0000, 50-px-jump 0.9861 — vs our full-D
+    8-path at 0.9974 / 0.9954 / 1.0000 / —. The textureless plateau
+    scene is NOT gated here: it is an all-tie invalidation-pattern
+    comparison at ~10% valid overlap where even exact 8-path reaches
+    only 0.95 (4-path 0.85); hier measures 0.81-0.83 (documented, not
+    asserted). band=64 raises it to 0.90 (robust mode)."""
+
+    def _run(self, pair, thresh, epe_max, hp=HierParams()):
+        left, right, _ = pair
+        p = StereoSGBMParams(**FULL)
+        ref = _cv_full(p, left, right)
+        mine = np.asarray(stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, hp))
+        agree, epe, overlap = agreement(mine, ref)
+        assert agree >= thresh, (agree, epe, overlap)
+        assert epe <= epe_max, epe
+
+    def test_ramp_box(self):
+        self._run(synthetic_pair(h=240, w=512, max_disp=64, seed=0), 0.99, 0.05)
+
+    def test_occlusion(self):
+        self._run(occlusion_pair(h=240, w=512, maxd=64, seed=10), 0.985, 0.06)
+
+    def test_repeated_texture(self):
+        self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), 0.995, 0.02)
+
+    def test_big_jump(self):
+        self._run(bigjump_pair(), 0.975, 0.2)
+
+    def test_big_jump_band64(self):
+        self._run(bigjump_pair(), 0.975, 0.1, hp=HierParams(band=64))
