@@ -48,7 +48,7 @@ def main():
     import jax.numpy as jnp
 
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
-    from stereo_vision_tpu.stereo.hier import stereo_sgbm_hier, HierParams
+    from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier
     from stereo_vision_tpu.utils.profiling import time_jitted
 
     print("devices:", jax.devices(), flush=True)
@@ -62,20 +62,30 @@ def main():
         disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
     )
 
+    from stereo_vision_tpu.stereo.hier import stereo_sgbm_hier_batch
+
+    P = 4
+    l4 = jnp.stack([l] * P)
+    r4 = jnp.stack([r] * P)
+
     configs = [
+        ("hierpack8", lambda a, b: stereo_sgbm_hier_batch(a, b, StereoSGBMParams(**base), HierParams())),
+        ("hierpack4", lambda a, b: stereo_sgbm_hier_batch(a, b, StereoSGBMParams(num_paths=4, **base), HierParams())),
         ("full8", lambda a, b: stereo_sgbm(a, b, StereoSGBMParams(**base))),
         ("full4", lambda a, b: stereo_sgbm(a, b, StereoSGBMParams(num_paths=4, **base))),
-        ("hier8", lambda a, b: stereo_sgbm_hier(a, b, StereoSGBMParams(**base), HierParams())),
-        ("hier4", lambda a, b: stereo_sgbm_hier(a, b, StereoSGBMParams(num_paths=4, **base), HierParams())),
     ]
     outs = {}
     for name, fn in configs:
+        batched = name.startswith("hierpack")
+        args = (l4, r4) if batched else (l, r)
         t0 = time.time()
-        out = np.asarray(jax.jit(fn)(l, r))
-        outs[name] = out
+        out = np.asarray(jax.jit(fn)(*args))
+        outs[name] = out[0] if batched else out
         print(f"{name}: compile+run {time.time()-t0:.1f}s", flush=True)
-        dt = time_jitted(fn, (l, r), n=5)
-        print(f"{name}: {dt*1e3:.2f} ms/frame  {H*W/dt/1e6:.1f} Mpx/s", flush=True)
+        dt = time_jitted(fn, args, n=5)
+        frames = P if batched else 1
+        dt_f = dt / frames
+        print(f"{name}: {dt_f*1e3:.2f} ms/frame  {H*W/dt_f/1e6:.1f} Mpx/s", flush=True)
 
     # agreement of each mode vs our exact full8 (cv2-free proxy here;
     # true cv2 agreement is asserted in tests/test_hier.py on CPU)

@@ -454,6 +454,44 @@ def cmd_validate_distance(args) -> int:
     return 0 if res.passed else 1
 
 
+def cmd_measure(args) -> int:
+    """Click-to-measure replay (reference calibrate_v4/distance.py:227-486
+    DistanceMeasurementTool, headless: clicks come from a JSON file; see
+    pipeline/measure.py for the schema and the matplotlib picker)."""
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.pipeline.measure import load_clicks, measure_clicks
+
+    store = ArtifactStore(args.test_dir)
+    try:
+        rig = store.load_rig()
+    except (FileNotFoundError, OSError):
+        print("need calibration artifacts first", file=sys.stderr)
+        return 2
+    clicks = load_clicks(args.clicks)
+    if args.rectified:
+        R1, R2, P1, P2, _ = store.load_rectification()
+        reports = measure_clicks(
+            clicks, rig.K1, rig.d1, rig.K2, rig.d2, P1, P2,
+            R1=R1, R2=R2, tolerance_percent=args.tolerance,
+        )
+    else:
+        P1 = np.asarray(rig.K1) @ np.hstack([np.eye(3), np.zeros((3, 1))])
+        P2 = np.asarray(rig.K2) @ np.hstack(
+            [np.asarray(rig.R), np.asarray(rig.T).reshape(3, 1)]
+        )
+        reports = measure_clicks(
+            clicks, rig.K1, rig.d1, rig.K2, rig.d2, P1, P2,
+            tolerance_percent=args.tolerance,
+        )
+    out = {"stage": "measure", "measurements": [r.to_dict() for r in reports]}
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+    ok = all(r.validation is None or r.validation.passed for r in reports)
+    return 0 if ok else 1
+
+
 def cmd_analyze(args) -> int:
     """Cross-run validation aggregation (reference analyze_validation.py)."""
     from stereo_vision_tpu.pipeline.aggregation import (
@@ -582,6 +620,17 @@ def build_parser() -> argparse.ArgumentParser:
     paz.add_argument("--results-dir", required=True)
     paz.add_argument("--out", default=None)
     paz.set_defaults(fn=cmd_analyze)
+
+    pm = sub.add_parser(
+        "measure", help="click-to-measure replay (point pairs -> 3D distances)"
+    )
+    pm.add_argument("--test-dir", required=True)
+    pm.add_argument("--clicks", required=True, help="clicks JSON (pipeline.measure schema)")
+    pm.add_argument("--rectified", action="store_true",
+                    help="clicks are in rectified-frame pixels")
+    pm.add_argument("--tolerance", type=float, default=10.0, help="percent")
+    pm.add_argument("--out", default=None, help="results JSON path")
+    pm.set_defaults(fn=cmd_measure)
     return p
 
 

@@ -95,6 +95,22 @@ def align_band(a: jnp.ndarray, delta: jnp.ndarray, G: int, *, diag: bool = False
     return out
 
 
+def align_window(a: jnp.ndarray, delta: jnp.ndarray, center: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Window-alignment of a neighbor's banded values into the center
+    pixel's band: out[..., k] = a[..., k + delta]; lanes with no source
+    (band edge, or |delta| > G i.e. non-overlapping bands) substitute the
+    CENTER pixel's own value at that lane. Center-substitution (instead
+    of edge replication) is one static iota select in the packed kernels;
+    both conventions only differ at band-edge lanes of windows crossing a
+    tile boundary."""
+    d = delta[..., None]
+    B = a.shape[-1]
+    up = jnp.concatenate([a[..., G:], center[..., B - G :]], axis=-1)
+    dn = jnp.concatenate([center[..., :G], a[..., : B - G]], axis=-1)
+    out = jnp.where(d == G, up, jnp.where(d == -G, dn, a))
+    return jnp.where(jnp.abs(d) > G, center, out)
+
+
 def banded_cost_volume(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -107,7 +123,8 @@ def banded_cost_volume(
 
     The block_size x block_size window sums the per-pixel banded costs of
     the neighbors ALIGNED into p's band (separable: rows then columns,
-    replicate-clamp at band edges; image borders replicate as in cv2).
+    center-substitute at band edges — see align_window; image borders
+    replicate as in cv2).
     """
     H, W = left.shape
     pix = compute_pixel_cost(left, right, params)  # (H, W, D)
@@ -125,7 +142,7 @@ def banded_cost_volume(
     acc = None
     for dy in range(bs):
         delta = s - se[dy : dy + H]
-        term = align_band(pe[dy : dy + H], delta, G)
+        term = align_window(pe[dy : dy + H], delta, pb, G)
         acc = term if acc is None else acc + term
 
     # Columns pass.
@@ -135,7 +152,7 @@ def banded_cost_volume(
     out = None
     for dx in range(bs):
         delta = s - sxe[:, dx : dx + W]
-        term = align_band(pe[:, dx : dx + W], delta, G)
+        term = align_window(pe[:, dx : dx + W], delta, acc, G)
         out = term if out is None else out + term
     return out
 

@@ -1,0 +1,749 @@
+"""Pallas TPU kernels for the banded SGBM core, lane-packed P frames deep.
+
+Why packing: Mosaic tiles vector registers as (8 sublanes, 128 lanes).
+A band of K = 32 disparities occupies only 32 lanes, so un-packed banded
+kernels run at 1/4 lane utilization and measure NO faster than full-D
+(hier on v5e: 27.6 ms vs 26.3 full — the banding saved nothing). These
+kernels pack P = 128/K frames into the lane dimension, b-minor:
+
+    lane l = P*k + b     (k = band lane, b = frame index)
+
+which makes every band operation a native full-width vector op:
+  - band shift k -> k+1  ==  lane shift by P (concat, no masks),
+  - per-frame min over k ==  log2(K) full-lane ROTATIONS by P*2^j
+    (rotation moves P*k+b -> P*((k+s) mod K)+b: frames never mix, and
+    the result is broadcast to every lane of the group for free),
+  - shift-map alignment by G disparities == lane shift by P*G + a
+    per-frame select.
+
+Batch=P is the natural shape for the throughput bench and the streaming
+pipeline; the same kernels also serve the coarse pass (s = 0).
+
+Semantics are bit-identical to stereo_vision_tpu.stereo.banded's lax.scan
+reference (tests/test_banded_pallas.py asserts exact equality), with all
+arithmetic in float32 (exact for these integer magnitudes; v5e Mosaic
+has no int16 vector arithmetic — see stereo/sgm_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FILL = 1.0e6
+
+
+# ---------------------------------------------------------------------------
+# packed-lane primitives (all on (..., 128) float32 blocks)
+# ---------------------------------------------------------------------------
+
+
+def _lane_iota(a):
+    return jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+
+
+def _rot_min(a, P, K, op=jnp.minimum):
+    """Per-frame reduction over k via log2(K) full-lane rotations; the
+    result is replicated across each frame's K lanes.
+
+    pltpu.roll, NOT slice+concat: Mosaic lowers lane concats as costly
+    relayouts while tpu.rotate is ~1 op (the native jnp.min reduction is
+    itself a 7-op rotate tree) — the concat version measured ~4x slower.
+    """
+    m = a
+    s = P
+    L = a.shape[-1]
+    while s < P * K:
+        m = op(m, pltpu.roll(m, L - s, a.ndim - 1))  # out[l] = m[l + s]
+        s *= 2
+    return m
+
+
+def _shift_k(a, dk_lanes, fill):
+    """out[..., l] = a[..., l + dk_lanes] with constant fill (band edge).
+    One native rotate + one iota select (see _rot_min on why not concat).
+    """
+    if dk_lanes == 0:
+        return a
+    L = a.shape[-1]
+    n = abs(dk_lanes)
+    if n >= L:
+        return jnp.full_like(a, fill)
+    lane = _lane_iota(a)
+    if dk_lanes > 0:
+        return jnp.where(lane >= L - n, fill, pltpu.roll(a, L - n, a.ndim - 1))
+    return jnp.where(lane < n, fill, pltpu.roll(a, n, a.ndim - 1))
+
+
+def _update_packed(c, L_aligned, P, K, P1, P2):
+    """Banded SGM update on packed lanes (mirrors banded._update_banded).
+
+    minL is the per-frame rotation-min (replicated); a fully-out-of-band
+    predecessor (minL >= _FILL) resets to the border rule L = c.
+    """
+    minL = _rot_min(L_aligned, P, K)
+    full_miss = minL >= _FILL
+    minL_eff = jnp.where(full_miss, 0.0, minL)
+    Lm = _shift_k(L_aligned, -P, _FILL)
+    Lp = _shift_k(L_aligned, P, _FILL)
+    cand = jnp.minimum(
+        jnp.minimum(L_aligned, minL_eff + P2), jnp.minimum(Lm, Lp) + P1
+    )
+    return jnp.where(full_miss, c, c + cand - minL_eff)
+
+
+def _align_packed(L, delta_lanes, P, K, G, diag=False):
+    """Alignment by the packed per-pixel delta map (values are actual
+    band-lane deltas, multiples of G). Supported shifts {-G, 0, +G}
+    (+-2G when diag and 2G < K); larger deltas -> full fill (reset)."""
+    out = L
+    units = [-1, 1]
+    if diag and 2 * G < K:
+        units += [-2, 2]
+    for u in units:
+        out = jnp.where(delta_lanes == u * G, _shift_k(L, u * P * G, _FILL), out)
+    maxsup = max(units) * G
+    return jnp.where(jnp.abs(delta_lanes) > maxsup, _FILL, out)
+
+
+# ---------------------------------------------------------------------------
+# banded pixel-cost kernel
+# ---------------------------------------------------------------------------
+
+
+def _pix_kernel(
+    P, K, D, G, H, W, Wp,
+    ls_ref, lu0_ref, lu1_ref, lr_ref, lv0_ref, lv1_ref,
+    vs_ref, vr_ref, s_ref,
+    out_ref,
+):
+    """Grid step y: emit the banded per-pixel BT cost row (1, W, 128).
+
+    Inputs are (P, 8, width) blocks holding the 8-row group around row y
+    for each frame; one row is extracted by masked sublane reduction
+    (dynamic sublane slices must be 8-aligned on Mosaic).
+    """
+    y = pl.program_id(0)
+    row_in_block = jax.lax.rem(y, jnp.int32(8))
+
+    def take(ref, b, n):
+        blk = ref[b, :, :n].astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+        return jnp.sum(jnp.where(rows == row_in_block, blk, 0.0), axis=0)
+
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+
+    # Packed padded right rows + packed shift map (per-frame lanes).
+    def pack(ref, n, lane):
+        out = None
+        for b in range(P):
+            t = jnp.broadcast_to(take(ref, b, n)[:, None], (n, 128))
+            out = t if out is None else jnp.where(lane % P == b, t, out)
+        return out
+
+    # Shift values at the CENTER pixel (the select mask for all three
+    # neighbor samples: vl/vr belong to disparity s(x)+k, so the x-1/x+1
+    # samples must use s(x), not their own column's s — selecting each
+    # row by its own s breaks the BT half-extrema at tile transitions).
+    s_c = pack(s_ref, W + 2, jax.lax.broadcasted_iota(jnp.int32, (W + 2, 128), 1))[1 : W + 1]
+
+    def banded_channel(v_ref, l_row, u0_row, u1_row):
+        # Stack St[x', k] = row_p[x' - k] over the (Wp, 128) packed
+        # workspace (row_p = D-left/1-right replicate-padded right row),
+        # via log2(K) masked sublane shifts — identical structure to
+        # cost_pallas._build_shifted, with the lane mask on k = lane//P.
+        B = pack(v_ref, Wp, jax.lax.broadcasted_iota(jnp.int32, (Wp, 128), 1))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Wp, 128), 1)
+        k_lane = lane // P
+        shift = 1
+        while shift < K:
+            z = jnp.zeros((shift, 128), B.dtype)
+            shifted = jnp.concatenate([z, B[:-shift]], axis=0)
+            B = jnp.where((k_lane & shift) != 0, shifted, B)
+            shift *= 2
+        # Per-column s-select: {Em, M, Ep}[x, k] = St[x + D - s(x) + {-1,0,1}]
+        Em = M = Ep = None
+        for j in range(0, (D - K) // G + 1):
+            off = D - j * G - 1
+            sl = B[off : off + W + 2]
+            if Em is None:
+                Em, M, Ep = sl[0:W], sl[1 : W + 1], sl[2 : W + 2]
+            else:
+                hit = s_c == float(j * G)
+                Em = jnp.where(hit, sl[0:W], Em)
+                M = jnp.where(hit, sl[1 : W + 1], M)
+                Ep = jnp.where(hit, sl[2 : W + 2], Ep)
+        vl = jnp.floor((M + Em) * 0.5)
+        vr = jnp.floor((M + Ep) * 0.5)
+        v0 = jnp.minimum(jnp.minimum(vl, vr), M)
+        v1 = jnp.maximum(jnp.maximum(vl, vr), M)
+        lb = l_row
+        c0 = jnp.maximum(jnp.maximum(0.0, lb - v1), v0 - lb)
+        c1 = jnp.maximum(jnp.maximum(0.0, M - u1_row), u0_row - M)
+        return jnp.minimum(c0, c1)
+
+    c_sob = banded_channel(
+        vs_ref, pack(ls_ref, W, laneW), pack(lu0_ref, W, laneW), pack(lu1_ref, W, laneW)
+    )
+    c_raw = banded_channel(
+        vr_ref, pack(lr_ref, W, laneW), pack(lv0_ref, W, laneW), pack(lv1_ref, W, laneW)
+    )
+    out_ref[0] = (c_sob + jnp.floor(c_raw / 4.0)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ndisp", "band", "granularity", "interpret")
+)
+def banded_pixel_cost_pack(
+    ls, lu0, lu1, lraw, lv0, lv1, vs_pad, vr_pad, s,
+    ndisp: int, band: int, granularity: int, interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed banded per-pixel BT cost.
+
+    Args:
+      ls..lv1: (P, H, W) left-image rows (sobel / raw with half-extrema,
+        prepared by ``prep_left``).
+      vs_pad, vr_pad: (P, H, W + ndisp + 1) padded right rows
+        (``prep_right``).
+      s: (P, H, W + 2) edge-padded shift maps (int).
+
+    Returns:
+      (H, W, 128) int16, lane P*k + b = cost of frame b at disparity
+      s_b(y, x) + k.
+    """
+    P, H, W = ls.shape
+    K = band
+    assert P * K == 128
+    D, G = ndisp, granularity
+    Wp = W + D + 1
+
+    Hp = ((H + 7) // 8) * 8
+    padh = lambda a: jnp.pad(a, ((0, 0), (0, Hp - H), (0, 0)), mode="edge")
+    padw = lambda a, n: jnp.pad(a, ((0, 0), (0, 0), (0, n - a.shape[2])))
+    Wl = ((W + 127) // 128) * 128
+    W2 = ((W + 2 + 127) // 128) * 128
+    Wr = ((Wp + 127) // 128) * 128
+
+    lefts = [padw(padh(a.astype(jnp.int16)), Wl) for a in (ls, lu0, lu1, lraw, lv0, lv1)]
+    rights = [
+        jnp.pad(padh(a.astype(jnp.int16)), ((0, 0), (0, 0), (0, Wr - Wp)), mode="edge")
+        for a in (vs_pad, vr_pad)
+    ]
+    s_in = jnp.pad(padh(s.astype(jnp.int16)), ((0, 0), (0, 0), (0, W2 - (W + 2))), mode="edge")
+
+    spec = lambda width: pl.BlockSpec(
+        (P, 8, width), lambda y: (0, jnp.minimum(y, H - 1) // 8, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(_pix_kernel, P, K, D, G, H, W, Wp)
+    return pl.pallas_call(
+        kern,
+        grid=(H,),
+        in_specs=[spec(Wl)] * 6 + [spec(Wr)] * 2 + [spec(W2)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=interpret,
+    )(*lefts, *rights, s_in)
+
+
+# ---------------------------------------------------------------------------
+# aligned box filter (XLA: static shifts + selects, fused by the compiler)
+# ---------------------------------------------------------------------------
+
+
+def _align_window_packed(a, delta, center, P, G):
+    """In-kernel window alignment (mirrors banded.align_window): lanes
+    with no source after the +-G shift — band edges, or |delta| > G —
+    substitute the CENTER pixel's value at that lane (one iota select)."""
+    n = P * G
+    L = a.shape[-1]
+    lane = _lane_iota(a)
+    up = jnp.where(lane >= L - n, center, pltpu.roll(a, L - n, a.ndim - 1))
+    dn = jnp.where(lane < n, center, pltpu.roll(a, n, a.ndim - 1))
+    out = jnp.where(delta == G, up, jnp.where(delta == -G, dn, a))
+    return jnp.where(jnp.abs(delta) > G, center, out)
+
+
+def _shift_rows(v, dx):
+    """(W, 128) sublane shift: out[x] = v[x + dx], edge replicate."""
+    if dx == 0:
+        return v
+    n = abs(dx)
+    if dx > 0:
+        edge = jnp.broadcast_to(v[-1:], (n,) + v.shape[1:])
+        return jnp.concatenate([v[n:], edge], axis=0)
+    edge = jnp.broadcast_to(v[:1], (n,) + v.shape[1:])
+    return jnp.concatenate([edge, v[: v.shape[0] - n]], axis=0)
+
+
+def _aligned_box_kernel(P, K, G, bs, H, W,
+                        pm2_ref, pm1_ref, p0_ref, pp1_ref, pp2_ref, d_ref,
+                        out_ref):
+    """Grid step y: windowed banded cost row, fully aligned.
+
+    pix rows stream via 5 clamped-index specs (image-border replicate).
+    d_ref: (1, W, 8P) i32 — row deltas s(y)-s(y+dy), dy in (-2,-1,1,2),
+    at slots 0..3; column deltas s(y,x)-s(y,x+dx), dx in (-2,-1,1,2), at
+    slots 4..7 (slot idx*P + b for frame b).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+
+    def packd(idx):
+        out = None
+        for b in range(P):
+            t = jnp.broadcast_to(d_ref[0, :, idx * P + b][:, None], (W, 128))
+            out = t if out is None else jnp.where(lane % P == b, t, out)
+        return out
+
+    center = p0_ref[0].astype(jnp.float32)
+    acc = center
+    for i, ref in enumerate((pm2_ref, pm1_ref, pp1_ref, pp2_ref)):
+        a = ref[0].astype(jnp.float32)
+        acc = acc + _align_window_packed(a, packd(i), center, P, G)
+
+    out = acc
+    for i, dx in enumerate((-2, -1, 1, 2)):
+        a = _shift_rows(acc, dx)
+        out = out + _align_window_packed(a, packd(4 + i), acc, P, G)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "granularity", "block_size", "interpret"))
+def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5, interpret: bool = False):
+    """Pallas aligned 5x5 box over the packed banded pixel cost.
+
+    pix: (H, W, 128) int16; s: (P, H, W) int32. Returns (H, W, 128) i16.
+    (An XLA shift+select formulation measured 11 ms/frame at 720p — the
+    lane-padded packed delta maps blow up to ~40 GB of materialized
+    intermediates; in-kernel the deltas are (W, 8P) rows.)
+    """
+    H, W = pix.shape[0], pix.shape[1]
+    P = s.shape[0]
+    K = band
+    assert P * K == 128 and block_size == 5, "kernel is specialized to bs=5"
+    G = granularity
+
+    se = jnp.pad(s, ((0, 0), (2, 2), (0, 0)), mode="edge")
+    sxe = jnp.pad(s, ((0, 0), (0, 0), (2, 2)), mode="edge")
+    deltas = [s - se[:, 2 + dy : 2 + dy + H] for dy in (-2, -1, 1, 2)]
+    deltas += [s - sxe[:, :, 2 + dx : 2 + dx + W] for dx in (-2, -1, 1, 2)]
+    d_all = jnp.concatenate(
+        [jnp.moveaxis(d, 0, -1).astype(jnp.int32) for d in deltas], axis=-1
+    )  # (H, W, 8P)
+
+    def spec_dy(dy):
+        return pl.BlockSpec(
+            (1, W, 128),
+            lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    specD = pl.BlockSpec((1, W, 8 * P), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(_aligned_box_kernel, P, K, G, block_size, H, W)
+    return pl.pallas_call(
+        kern,
+        grid=(H,),
+        in_specs=[spec_dy(d) for d in (-2, -1, 0, 1, 2)] + [specD],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(pix, pix, pix, pix, pix, d_all)
+
+
+# ---------------------------------------------------------------------------
+# aggregation kernels
+# ---------------------------------------------------------------------------
+
+
+def _vert_kernel(P, K, G, P1, P2, with_diag,
+                 c_dn_ref, c_up_ref, d_ref,
+                 s_dn_ref, s_up_ref, L_ref):
+    """Grid step r: one down row (r) + one up row (H-1-r) per step.
+
+    L scratch: (6, W, 128) — [0] dn-vert [1] dn-diag+1 [2] dn-diag-1,
+    [3..5] the up set. d_ref: (1, W, 6*P) — all six delta maps packed
+    into one input (separate (1, W, P) blocks lane-pad 4 -> 128 in VMEM,
+    a 32x bloat that blew the scoped-VMEM budget); slot idx*P + b holds
+    delta idx [dv_dn, dv_up, dd_dn, dd_up, du_dn, du_up] of frame b.
+    """
+    r = pl.program_id(0)
+    W = s_dn_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+
+    def packd(idx):
+        out = None
+        for b in range(P):
+            # int32 refs: indexing i16 refs lowers to an unsupported i16
+            # shape cast on this Mosaic; [:, None] is 32-bit-only.
+            t = jnp.broadcast_to(d_ref[0, :, idx * P + b][:, None], (W, 128))
+            out = t if out is None else jnp.where(lane % P == b, t, out)
+        return out
+
+    for up in (False, True):
+        c = (c_up_ref if up else c_dn_ref)[0].astype(jnp.float32)
+        dv = packd(1 if up else 0)
+        base = 3 if up else 0
+        out_ref = s_up_ref if up else s_dn_ref
+        first = r == 0
+
+        @pl.when(first)
+        def _init(c=c, base=base, out_ref=out_ref):
+            for k in range(3 if with_diag else 1):
+                L_ref[base + k] = c
+            out_ref[0] = (c * (3 if with_diag else 1)).astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _step(c=c, dv=dv, base=base, out_ref=out_ref, up=up):
+            Lv = _update_packed(
+                c, _align_packed(L_ref[base], dv, P, K, G), P, K, P1, P2
+            )
+            L_ref[base] = Lv
+            if with_diag:
+                dd = packd(3 if up else 2)
+                du = packd(5 if up else 4)
+                # column shifts (sublane axis), zero-fill border
+                zrow = jnp.zeros((1, 128), jnp.float32)
+                Ldp = jnp.concatenate([zrow, L_ref[base + 1][:-1]], axis=0)
+                Lup = jnp.concatenate([L_ref[base + 2][1:], zrow], axis=0)
+                Ld = _update_packed(
+                    c, _align_packed(Ldp, dd, P, K, G, diag=True), P, K, P1, P2
+                )
+                Lu = _update_packed(
+                    c, _align_packed(Lup, du, P, K, G, diag=True), P, K, P1, P2
+                )
+                L_ref[base + 1] = Ld
+                L_ref[base + 2] = Lu
+                out = Lv + Ld + Lu
+            else:
+                out = Lv
+            out_ref[0] = out.astype(out_ref.dtype)
+
+
+_BW = 8
+
+
+def _horiz_kernel(P, K, G, P1, P2, reverse, c_ref, dh_ref, s_ref, L_ref):
+    """One horizontal direction over column blocks of _BW (cf.
+    sgm_pallas._horizontal_kernel), with packed alignment per column.
+
+    Grid is (row bands, column blocks), column index fastest: rows are
+    independent in horizontal scans, so banding rows keeps every VMEM
+    block small (the lane-padded (Hb, _BW, P) delta blocks included).
+    """
+    b0 = pl.program_id(1)
+    Hb = c_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Hb, 128), 1)
+
+    for j in range(_BW):
+        col = _BW - 1 - j if reverse else j
+        c = c_ref[:, col].astype(jnp.float32)
+
+        def packd(col=col):
+            out = None
+            for b in range(P):
+                t = jnp.broadcast_to(dh_ref[:, col, b][:, None], (Hb, 128))
+                out = t if out is None else jnp.where(lane % P == b, t, out)
+            return out
+
+        first = (b0 == 0) & (j == 0)
+
+        @pl.when(first)
+        def _init(c=c, col=col):
+            L_ref[:] = c
+            s_ref[:, col] = c.astype(s_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _step(c=c, col=col):
+            dh = packd(col)
+            L2 = _update_packed(
+                c, _align_packed(L_ref[:], dh, P, K, G), P, K, P1, P2
+            )
+            L_ref[:] = L2
+            s_ref[:, col] = L2.astype(s_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# WTA kernel (packed, segmented)
+# ---------------------------------------------------------------------------
+
+
+def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
+    """Stats from the in-kernel sum of the four direction volumes.
+
+    Output block (R, W, 32): lane j = P*stat + b, stats
+    [minS, best, sm, s0, sp, uok]; P <= 4 packs at most 24 used lanes.
+
+    All lane concats/slices run on 2-D (W, 128) values — Mosaic's vector
+    layout pass aborts on lane slices of 3-D values (the proven sgm
+    kernels only ever lane-op 2-D blocks) — so blocks are single rows.
+    """
+    _, W, _ = a_ref.shape
+    S = (
+        a_ref[0].astype(jnp.float32)
+        + b_ref[0].astype(jnp.float32)
+        + c_ref[0].astype(jnp.float32)
+        + d_ref[0].astype(jnp.float32)
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+    ds = (lane // P).astype(jnp.float32)
+    minS = _rot_min(S, P, K)
+    best = _rot_min(jnp.where(S == minS, ds, float(K)), P, K)
+    if uniq > 0:
+        offend = ((minS * (100.0 + uniq) > S * 100.0) & (jnp.abs(ds - best) > 1.0)).astype(jnp.float32)
+        uok = 1.0 - _rot_min(offend, P, K, op=jnp.maximum)
+    else:
+        uok = jnp.ones_like(minS)
+    d0 = jnp.clip(best, 1.0, float(K - 2))
+    sel = lambda tgt: _rot_min(jnp.where(ds == tgt, S, _FILL), P, K)
+    stats = [minS, best, sel(d0 - 1.0), sel(d0), sel(d0 + 1.0), uok]
+    # lane j = P*stat_idx + b reads stat's replicated value at k = stat_idx
+    # (the value is replicated across the group, so no lane movement is
+    # needed — only selects). Full-width output: Mosaic aborts on ANY
+    # 32-lane value (strided lane slices), so the caller slices in XLA.
+    out = jnp.zeros((W, 128), jnp.float32)
+    for idx, st in enumerate(stats):
+        out = jnp.where(lane // P == idx, st, out)
+    out_ref[0] = out
+
+
+# ---------------------------------------------------------------------------
+# assembled packed reduce (aggregation + WTA)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band", "granularity", "P1", "P2", "uniq", "num_paths", "interpret"),
+)
+def banded_reduce_pack(
+    C: jnp.ndarray,
+    s: jnp.ndarray,
+    band: int,
+    granularity: int,
+    P1: int,
+    P2: int,
+    uniq: int,
+    num_paths: int = 8,
+    interpret: bool = False,
+):
+    """Packed banded aggregation + WTA.
+
+    Args:
+      C: (H, W, 128) packed banded windowed cost (int16/int32).
+      s: (P, H, W) int32 shift maps (the same region as C's columns).
+
+    Returns six (P, H, W) float32 stat maps:
+      (minS, best_k, sm, s0, sp, unique_ok).
+    """
+    H, W0, _ = C.shape
+    P = s.shape[0]
+    K = band
+    assert P * K == 128
+    G = granularity
+    with_diag = num_paths >= 8
+
+    W = ((W0 + _BW - 1) // _BW) * _BW
+    cf = C if C.dtype == jnp.int16 else C.astype(jnp.float32)
+    if W != W0:
+        cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, W - W0)), mode="edge")
+
+    # Delta arrays in (H, W, P) layout — the only 3-D layout whose
+    # last-two block dims ((W, P) row blocks / (_BW, P) column blocks)
+    # satisfy Mosaic's (8k|full, 128k|full) constraint. int32: indexing
+    # an i16 ref lowers to an unsupported i16 shape cast on this Mosaic.
+    def hwp(a):  # (P, H, W) -> (H, W, P) int32
+        return jnp.moveaxis(a, 0, -1).astype(jnp.int32)
+
+    # Row deltas (current - predecessor), zero on the first scanned row
+    # and where the predecessor column is out of image (banded.row_delta).
+    def row_deltas(sp):  # sp: (P, H, W) in scan order
+        z = jnp.zeros_like(sp[:, :1])
+        dv = jnp.concatenate([z, sp[:, 1:] - sp[:, :-1]], axis=1)
+        prev = sp[:, :-1]
+        pd = jnp.concatenate([sp[:, 1:, :1], prev[:, :, :-1]], axis=2)
+        dd = jnp.concatenate([z, sp[:, 1:] - pd], axis=1)
+        pu = jnp.concatenate([prev[:, :, 1:], sp[:, 1:, -1:]], axis=2)
+        du = jnp.concatenate([z, sp[:, 1:] - pu], axis=1)
+        return hwp(dv), hwp(dd), hwp(du)
+
+    dv_dn, dd_dn, du_dn = row_deltas(s)
+    dv_up, dd_up, du_up = row_deltas(jnp.flip(s, 1))
+    # up delta arrays are built on the FLIPPED s: their row i corresponds
+    # to image row H-1-i, exactly the flipped-scan reference. All six
+    # pack into ONE (H, W, 6P) input (see _vert_kernel docstring).
+    d_all = jnp.concatenate(
+        [dv_dn, dv_up, dd_dn, dd_up, du_dn, du_up], axis=-1
+    )
+
+    specC_dn = pl.BlockSpec((1, W, 128), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    specC_up = pl.BlockSpec((1, W, 128), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM)
+    specD = pl.BlockSpec((1, W, 6 * P), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+
+    vert = pl.pallas_call(
+        functools.partial(_vert_kernel, P, K, G, float(P1), float(P2), with_diag),
+        grid=(H,),
+        in_specs=[specC_dn, specC_up, specD],
+        out_specs=[specC_dn, specC_up],
+        out_shape=[jax.ShapeDtypeStruct((H, W, 128), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((6, W, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+    s_dn, s_up = vert(cf, cf, d_all)
+
+    # Horizontal: column deltas, zero at each scan's first column.
+    zc = jnp.zeros_like(s[:, :, :1])
+    dh_lr = jnp.concatenate([zc, s[:, :, 1:] - s[:, :, :-1]], axis=2)
+    dh_rl_f = jnp.flip(s, 2)
+    dh_rl = jnp.concatenate([zc, dh_rl_f[:, :, 1:] - dh_rl_f[:, :, :-1]], axis=2)
+    dh_rl = jnp.flip(dh_rl, 2)  # store unflipped; kernel walks right->left
+    dh_lr, dh_rl = hwp(dh_lr), hwp(dh_rl)
+
+    nB = W // _BW
+    # Row bands: rows are independent, and small (Hb, ...) blocks keep
+    # the lane-padded delta blocks within the scoped-VMEM budget.
+    Hb = min(((H + 7) // 8) * 8, 120)
+    Hpb = ((H + Hb - 1) // Hb) * Hb
+    nH = Hpb // Hb
+    cfh = jnp.pad(cf, ((0, Hpb - H), (0, 0), (0, 0))) if Hpb != H else cf
+
+    def horiz(reverse):
+        if reverse:
+            imapC = lambda h, b: (h, nB - 1 - b, 0)
+        else:
+            imapC = lambda h, b: (h, b, 0)
+        dh = dh_rl if reverse else dh_lr
+        dhp = jnp.pad(dh, ((0, Hpb - H), (0, 0), (0, 0))) if Hpb != H else dh
+        return pl.pallas_call(
+            functools.partial(_horiz_kernel, P, K, G, float(P1), float(P2), reverse),
+            grid=(nH, nB),
+            in_specs=[
+                pl.BlockSpec((Hb, _BW, 128), imapC, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hb, _BW, P), imapC, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Hb, _BW, 128), imapC, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Hpb, W, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((Hb, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+            interpret=interpret,
+        )(cfh, dhp)[:H]
+
+    s_lr = horiz(False)
+    s_rl = horiz(True)
+
+    spec_in = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_wta_kernel, P, K, float(uniq)),
+        grid=(H,),
+        in_specs=[spec_in] * 4,
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.float32),
+        interpret=interpret,
+    )(s_dn, s_up, s_lr, s_rl)
+    outs = outs[:, :W0]
+
+    def stat(idx):
+        return jnp.stack([outs[:, :, P * idx + b] for b in range(P)])  # (P, H, W)
+
+    return tuple(stat(i) for i in range(6))
+
+
+# ---------------------------------------------------------------------------
+# XLA prep + full packed stats assembly
+# ---------------------------------------------------------------------------
+
+
+def _half_extrema(a):
+    """cv2 BT half-sample extrema along rows (cf. sgbm._bt_channel_cost)."""
+    l_ = jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+    r_ = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+    vl = (a + l_) // 2
+    vr = (a + r_) // 2
+    vl = vl.at[..., 0].set(a[..., 0])
+    vr = vr.at[..., -1].set(a[..., -1])
+    return (
+        jnp.minimum(jnp.minimum(vl, vr), a),
+        jnp.maximum(jnp.maximum(vl, vr), a),
+    )
+
+
+def prep_left(a):
+    """(P, H, W) int -> (value, u0, u1) rows for the left image."""
+    u0, u1 = _half_extrema(a.astype(jnp.int32))
+    return a.astype(jnp.int32), u0, u1
+
+
+def prep_right(a, ndisp: int):
+    """(P, H, W) int -> (P, H, W + ndisp + 1) replicate-padded right rows
+    (left pad ndisp, right pad 1 — the kernel derives the BT half-extrema
+    from this single padded row, matching cv2's edge rules)."""
+    return jnp.concatenate(
+        [jnp.repeat(a[:, :, :1], ndisp, axis=2), a, a[:, :, -1:]], axis=2
+    ).astype(jnp.int32)
+
+
+def banded_stats_pack(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    s: jnp.ndarray,
+    params,
+    band: int,
+    granularity: int,
+    min_x: int,
+    interpret: bool = False,
+):
+    """Packed banded core: P frames end-to-end through the Pallas
+    kernels. Mirrors banded.banded_stats_scan per frame (bit-exact,
+    tests/test_banded_pallas.py).
+
+    Args:
+      left, right: (P, H, W) int images; s: (P, H, W) int32 shift maps.
+
+    Returns six (P, H, W - min_x) int32/bool maps:
+      (minS, best_k, sm, s0, sp, unique_ok).
+    """
+    from stereo_vision_tpu.stereo.sgbm import _xsobel_clipped
+
+    P, H, W = left.shape
+    D = params.num_disparities
+    ftz = params.ftzero
+
+    ls = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(left)
+    rs = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(right)
+    lsv, lu0, lu1 = prep_left(ls)
+    lrv, lv0, lv1 = prep_left(left.astype(jnp.int32))
+    vs = prep_right(rs, D)
+    vr = prep_right(right.astype(jnp.int32), D)
+    s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
+
+    pix = banded_pixel_cost_pack(
+        lsv, lu0, lu1, lrv, lv0, lv1, vs, vr, s_ext,
+        ndisp=D, band=band, granularity=granularity, interpret=interpret,
+    )
+    # int16: windowed cost < 15k; halves the volume's HBM traffic and the
+    # scan kernels' block DMAs (f32 blocks OOM'd scoped VMEM at 720p).
+    C = aligned_box_packed(
+        pix, s, band, granularity, params.block_size, interpret=interpret
+    )
+
+    Cv = C[:, min_x:, :]
+    sv = s[:, :, min_x:]
+    minS, best, sm, s0, sp, uok = banded_reduce_pack(
+        Cv, sv, band, granularity, params.P1, params.P2,
+        params.uniqueness_ratio, num_paths=params.num_paths,
+        interpret=interpret,
+    )
+    c = lambda a: a.astype(jnp.int32)
+    return c(minS), c(best), c(sm), c(s0), c(sp), uok > 0.5

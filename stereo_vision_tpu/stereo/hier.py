@@ -202,6 +202,56 @@ def shift_map(
     return jnp.repeat(jnp.repeat(s, f * t, axis=0), f * t, axis=1)
 
 
+def _assemble_disparity(
+    stats,
+    s_v,
+    W: int,
+    min_x: int,
+    ndisp_full: int,
+    band: int,
+    params: StereoSGBMParams,
+    backend: str,
+) -> jnp.ndarray:
+    """Banded stats -> full-width float disparity map (pre-speckle).
+
+    stats: (minS, best_k, sm, s0, sp, unique_ok) on columns x >= min_x;
+    s_v: shift map on the same columns (None => zero, e.g. coarse pass).
+    The LR consistency check runs over the FULL ``ndisp_full`` range on
+    absolute values.
+    """
+    minS, k, sm, s0, sp, unique_ok = stats
+    H = minS.shape[0]
+    sub16 = subpixel_disp16(k, sm, s0, sp, band)
+    if s_v is None:
+        best_abs = k
+        disp = sub16.astype(jnp.float32) / 16.0
+    else:
+        best_abs = k + s_v
+        disp = (sub16 + 16 * s_v).astype(jnp.float32) / 16.0
+
+    valid = unique_ok
+    if params.disp12_max_diff >= 0:
+        valid = valid & ~lr_fail(
+            minS, best_abs, disp,
+            W=W, min_x=min_x, ndisp=ndisp_full, mindisp=0,
+            max_diff=params.disp12_max_diff, backend=backend,
+        )
+
+    disp = jnp.where(valid, disp, jnp.float32(-1.0))
+    full = jnp.full((H, W), -1.0, jnp.float32)
+    return jax.lax.dynamic_update_slice(full, disp, (0, min_x))
+
+
+def _coarse_params(params: StereoSGBMParams, D: int, f: int, hp: HierParams) -> StereoSGBMParams:
+    return params._replace(
+        num_disparities=D // f,
+        uniqueness_ratio=hp.coarse_uniqueness,
+        disp12_max_diff=hp.coarse_lr,
+        speckle_window_size=0,
+        num_paths=4,
+    )
+
+
 def stereo_sgbm_hier(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -214,6 +264,10 @@ def stereo_sgbm_hier(
     float32, invalid = -1, valid region x >= num_disparities) at a
     fraction of the compute; agreement vs cv2 full-D is measured, not
     bit-exact (tests/test_hier.py, bench.py gate).
+
+    Single-frame entry (lax.scan banded core). For TPU throughput use
+    :func:`stereo_sgbm_hier_batch`, whose lane-packed Pallas kernels
+    process 128//band frames at full vector utilization.
     """
     assert params.min_disparity == 0, "hier mode assumes min_disparity == 0"
     D = params.num_disparities
@@ -222,16 +276,12 @@ def stereo_sgbm_hier(
     H, W = left.shape
 
     # 1. Coarse prior.
-    coarse_params = params._replace(
-        num_disparities=D // f,
-        uniqueness_ratio=hp.coarse_uniqueness,
-        disp12_max_diff=hp.coarse_lr,
-        speckle_window_size=0,
-        num_paths=4,
-    )
     from stereo_vision_tpu.stereo.sgbm import stereo_sgbm
 
-    disp_c = stereo_sgbm(_downsample_box(left, f), _downsample_box(right, f), coarse_params)
+    disp_c = stereo_sgbm(
+        _downsample_box(left, f), _downsample_box(right, f),
+        _coarse_params(params, D, f, hp),
+    )
 
     # 2. Shift map.
     s = shift_map(disp_c, D, hp)
@@ -246,27 +296,10 @@ def stereo_sgbm_hier(
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
     from stereo_vision_tpu.stereo.banded import banded_stats_scan
 
-    minS, k, sm, s0, sp, unique_ok = banded_stats_scan(
-        left, right, s, params, B, G, min_x=D
-    )
+    stats = banded_stats_scan(left, right, s, params, B, G, min_x=D)
 
     # 4. Absolute disparity + full-range postprocessing.
-    sub16 = subpixel_disp16(k, sm, s0, sp, B)
-    s_v = s[:, D:]
-    best_abs = k + s_v
-    disp = (sub16 + 16 * s_v).astype(jnp.float32) / 16.0
-
-    valid = unique_ok
-    if params.disp12_max_diff >= 0:
-        valid = valid & ~lr_fail(
-            minS, best_abs, disp,
-            W=W, min_x=D, ndisp=D, mindisp=0,
-            max_diff=params.disp12_max_diff, backend=backend,
-        )
-
-    disp = jnp.where(valid, disp, jnp.float32(-1.0))
-    full = jnp.full((H, W), -1.0, jnp.float32)
-    full = jax.lax.dynamic_update_slice(full, disp, (0, D))
+    full = _assemble_disparity(stats, s[:, D:], W, D, D, B, params, backend)
 
     if params.speckle_window_size > 0:
         full = speckle_filter(
@@ -275,6 +308,70 @@ def stereo_sgbm_hier(
             max_speckle_size=params.speckle_window_size,
             invalid_value=-1.0,
         )
+    return full
+
+
+def stereo_sgbm_hier_batch(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoSGBMParams = StereoSGBMParams(),
+    hp: HierParams = HierParams(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched hierarchical SGBM through the lane-packed Pallas kernels.
+
+    Args:
+      left, right: (P, H, W) with P = 128 // band frames — the pack
+        count that fills the 128-lane registers (4 at band=32).
+
+    Returns (P, H, W) float32 disparities (same convention as
+    :func:`stereo_sgbm_hier`; per-frame results are bit-identical to it
+    when both use the same coarse backend — tests/test_banded_pallas.py).
+    """
+    assert params.min_disparity == 0
+    D = params.num_disparities
+    B, G, f = hp.band, hp.granularity, hp.coarse_factor
+    P, H, W = left.shape
+    assert P * B == 128, f"pack count {P} x band {B} must fill 128 lanes"
+    Dc = D // f
+    assert P * Dc == 128, "coarse range must also fill the lanes (D/f == band)"
+
+    from stereo_vision_tpu.stereo.banded_pallas import banded_stats_pack
+
+    # 1. Coarse prior via the SAME packed kernels (band = Dc, s = 0).
+    cp = _coarse_params(params, D, f, hp)
+    lc = jax.vmap(lambda a: _downsample_box(a, f))(left)
+    rc = jax.vmap(lambda a: _downsample_box(a, f))(right)
+    Hc, Wc = lc.shape[1:]
+    s0 = jnp.zeros((P, Hc, Wc), jnp.int32)
+    cstats = banded_stats_pack(lc, rc, s0, cp, Dc, G, min_x=Dc, interpret=interpret)
+    disp_c = jax.vmap(
+        lambda *st: _assemble_disparity(st, None, Wc, Dc, Dc, Dc, cp, "scan")
+    )(*cstats)
+
+    # 2. Shift maps.
+    s = jax.vmap(lambda d: shift_map(d, D, hp))(disp_c)
+    if s.shape[1:] != (H, W):
+        s = jnp.pad(
+            s, ((0, 0), (0, H - s.shape[1]), (0, W - s.shape[2])), mode="edge"
+        )
+
+    # 3. Banded packed core on the full-range valid region.
+    stats = banded_stats_pack(left, right, s, params, B, G, min_x=D, interpret=interpret)
+
+    full = jax.vmap(
+        lambda sv, *st: _assemble_disparity(st, sv, W, D, D, B, params, "scan")
+    )(s[:, :, D:], *stats)
+
+    if params.speckle_window_size > 0:
+        full = jax.vmap(
+            lambda d: speckle_filter(
+                d,
+                max_diff=float(params.speckle_range),
+                max_speckle_size=params.speckle_window_size,
+                invalid_value=-1.0,
+            )
+        )(full)
     return full
 
 

@@ -1,0 +1,191 @@
+"""Packed banded Pallas kernels vs the lax.scan reference — EXACT equality.
+
+Parity thresholds are too loose to catch lane-packing/alignment bugs
+(CLAUDE.md convention): every kernel is asserted bit-identical to
+stereo_vision_tpu.stereo.banded on random scenes with tile-constant
+shift maps, in Pallas interpret mode on the CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, compute_pixel_cost
+from stereo_vision_tpu.stereo.banded import (
+    aggregate_banded_scan,
+    banded_cost_volume,
+    banded_stats_scan,
+)
+from stereo_vision_tpu.stereo.sgbm import wta_scan
+from stereo_vision_tpu.stereo.banded_pallas import (
+    aligned_box_packed,
+    banded_pixel_cost_pack,
+    banded_reduce_pack,
+    banded_stats_pack,
+    prep_left,
+    prep_right,
+)
+from stereo_vision_tpu.stereo.hier import HierParams
+
+
+def _rand_scene(P, H, W, D, seed=0):
+    rng = np.random.default_rng(seed)
+    left = rng.integers(0, 255, (P, H, W)).astype(np.int32)
+    right = np.roll(left, -9, axis=2) + rng.integers(-3, 4, (P, H, W))
+    right = np.clip(right, 0, 255).astype(np.int32)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+def _rand_shift_map(P, H, W, D, B, G, seed=1, tile=8):
+    """Tile-constant (tile x tile) random shift maps on the G grid."""
+    rng = np.random.default_rng(seed)
+    Ht, Wt = -(-H // tile), -(-W // tile)
+    vals = rng.integers(0, (D - B) // G + 1, (P, Ht, Wt)) * G
+    s = np.repeat(np.repeat(vals, tile, axis=1), tile, axis=2)[:, :H, :W]
+    return jnp.asarray(s.astype(np.int32))
+
+
+P, K, D, G = 4, 32, 64, 16
+H, W = 24, 128
+PARAMS = StereoSGBMParams(num_disparities=D, block_size=5, uniqueness_ratio=10)
+
+
+class TestPixelCostPack:
+    def test_exact_vs_reference(self):
+        left, right = _rand_scene(P, H, W, D)
+        s = _rand_shift_map(P, H, W, D, K, G)
+        from stereo_vision_tpu.stereo.sgbm import _xsobel_clipped
+        import jax
+
+        ftz = PARAMS.ftzero
+        ls = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(left)
+        rs = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(right)
+        lsv, lu0, lu1 = prep_left(ls)
+        lrv, lv0, lv1 = prep_left(left)
+        vs = prep_right(rs, D)
+        vr = prep_right(right, D)
+        s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        pix = np.asarray(
+            banded_pixel_cost_pack(
+                lsv, lu0, lu1, lrv, lv0, lv1, vs, vr, s_ext,
+                ndisp=D, band=K, granularity=G, interpret=True,
+            )
+        )
+        kk = jnp.arange(K)
+        for b in range(P):
+            full = compute_pixel_cost(left[b], right[b], PARAMS)
+            ref = np.asarray(
+                jnp.take_along_axis(
+                    full.astype(jnp.int32), s[b][..., None] + kk[None, None], -1
+                )
+            )
+            got = pix[:, :, K * 0 :][:, :, :]  # packed (H, W, 128)
+            mine = got[:, :, P * np.arange(K) + b]
+            np.testing.assert_array_equal(mine, ref, err_msg=f"frame {b}")
+
+
+class TestAlignedBoxPack:
+    def test_exact_vs_reference(self):
+        left, right = _rand_scene(P, H, W, D, seed=2)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=3)
+        from stereo_vision_tpu.stereo.sgbm import _xsobel_clipped
+        import jax
+
+        ftz = PARAMS.ftzero
+        ls = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(left)
+        rs = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(right)
+        lsv, lu0, lu1 = prep_left(ls)
+        lrv, lv0, lv1 = prep_left(left)
+        vs = prep_right(rs, D)
+        vr = prep_right(right, D)
+        s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        pix = banded_pixel_cost_pack(
+            lsv, lu0, lu1, lrv, lv0, lv1, vs, vr, s_ext,
+            ndisp=D, band=K, granularity=G, interpret=True,
+        )
+        C = np.asarray(aligned_box_packed(pix, s, K, G, PARAMS.block_size, interpret=True))
+        for b in range(P):
+            ref = np.asarray(
+                banded_cost_volume(left[b], right[b], s[b], PARAMS, K, G)
+            )
+            mine = C[:, :, P * np.arange(K) + b]
+            np.testing.assert_array_equal(mine, ref, err_msg=f"frame {b}")
+
+
+class TestReducePack:
+    @pytest.mark.parametrize("num_paths", [4, 8])
+    def test_exact_vs_scan(self, num_paths):
+        left, right = _rand_scene(P, H, W, D, seed=4)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=5)
+        params = PARAMS._replace(num_paths=num_paths)
+        # Build the banded cost with the packed path's own (verified)
+        # cost machinery, then compare aggregation+WTA.
+        Cs = [
+            banded_cost_volume(left[b], right[b], s[b], params, K, G)
+            for b in range(P)
+        ]
+        Cp = jnp.zeros((H, W, 128), jnp.int32)
+        for b in range(P):
+            Cp = Cp.at[:, :, P * jnp.arange(K) + b].set(Cs[b])
+        outs = banded_reduce_pack(
+            Cp.astype(jnp.int16), s, K, G, params.P1, params.P2,
+            params.uniqueness_ratio, num_paths=num_paths, interpret=True,
+        )
+        for b in range(P):
+            S = aggregate_banded_scan(Cs[b], s[b], G, params.P1, params.P2, num_paths)
+            ref = wta_scan(S, K, params.uniqueness_ratio)
+            names = ["minS", "best", "sm", "s0", "sp", "uok"]
+            for name, mine, want in zip(names, outs, ref):
+                got = np.asarray(mine[b])
+                wantb = np.asarray(want)
+                if name == "uok":
+                    got = got > 0.5
+                np.testing.assert_array_equal(
+                    got.astype(np.float64), wantb.astype(np.float64),
+                    err_msg=f"frame {b} stat {name} paths={num_paths}",
+                )
+
+
+class TestStatsPackEndToEnd:
+    def test_exact_vs_scan(self):
+        left, right = _rand_scene(P, H, W, D, seed=6)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=7)
+        params = PARAMS._replace(uniqueness_ratio=10, num_paths=8)
+        min_x = D
+        outs = banded_stats_pack(
+            left, right, s, params, K, G, min_x, interpret=True
+        )
+        for b in range(P):
+            ref = banded_stats_scan(left[b], right[b], s[b], params, K, G, min_x)
+            for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[i][b]).astype(np.float64),
+                    np.asarray(ref[i]).astype(np.float64),
+                    err_msg=f"frame {b} stat {name}",
+                )
+
+
+class TestHierBatch:
+    def test_batch_matches_single_frame(self):
+        """stereo_sgbm_hier_batch (packed kernels end-to-end, incl. the
+        packed coarse pass) must reproduce per-frame stereo_sgbm_hier
+        (scan backend) bit-for-bit."""
+        from stereo_vision_tpu.stereo.hier import (
+            stereo_sgbm_hier,
+            stereo_sgbm_hier_batch,
+        )
+
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(P, Hh, Wh, 128, seed=8)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+        )
+        hp = HierParams()
+        batch = np.asarray(
+            stereo_sgbm_hier_batch(left, right, params, hp, interpret=True)
+        )
+        for b in range(P):
+            single = np.asarray(stereo_sgbm_hier(left[b], right[b], params, hp))
+            np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
