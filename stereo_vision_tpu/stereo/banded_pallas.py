@@ -79,21 +79,28 @@ def _shift_k(a, dk_lanes, fill):
     return jnp.where(lane < n, fill, pltpu.roll(a, n, a.ndim - 1))
 
 
-def _update_packed(c, L_aligned, P, K, P1, P2):
+def _update_packed(c, L_aligned, P, K, P1, P2, may_miss=True):
     """Banded SGM update on packed lanes (mirrors banded._update_banded).
 
     minL is the per-frame rotation-min (replicated); a fully-out-of-band
     predecessor (minL >= _FILL) resets to the border rule L = c.
+    ``may_miss=False`` skips the reset select — valid for every update
+    whose predecessor was NOT re-aligned (its L always contains finite
+    values), i.e. all but the first step of a tile block.
     """
     minL = _rot_min(L_aligned, P, K)
-    full_miss = minL >= _FILL
-    minL_eff = jnp.where(full_miss, 0.0, minL)
+    if may_miss:
+        full_miss = minL >= _FILL
+        minL = jnp.where(full_miss, 0.0, minL)
     Lm = _shift_k(L_aligned, -P, _FILL)
     Lp = _shift_k(L_aligned, P, _FILL)
     cand = jnp.minimum(
-        jnp.minimum(L_aligned, minL_eff + P2), jnp.minimum(Lm, Lp) + P1
+        jnp.minimum(L_aligned, minL + P2), jnp.minimum(Lm, Lp) + P1
     )
-    return jnp.where(full_miss, c, c + cand - minL_eff)
+    out = c + cand - minL
+    if may_miss:
+        out = jnp.where(full_miss, c, out)
+    return out
 
 
 def _align_packed(L, delta_lanes, P, K, G, diag=False):
@@ -115,6 +122,21 @@ def _align_packed(L, delta_lanes, P, K, G, diag=False):
 # ---------------------------------------------------------------------------
 
 
+def _pack_mm(vals, P):
+    """(n, P) per-frame values -> (n, 128) b-minor packed broadcast via
+    ONE MXU matmul with the 0/1 tile matrix E[b, l] = (l % P == b).
+
+    Exact in the default bf16 MXU pass: every packed value here is an
+    integer <= 255 (image levels, extrema, shift deltas), and E is 0/1.
+    Replaces a 4-broadcast + 4-select chain (~8 VPU ops over the full
+    width) per packed row — the chains were ~half the pix kernel's time.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    E = (lane % P == rows).astype(jnp.float32)
+    return jax.lax.dot(vals.astype(jnp.float32), E)
+
+
 def _pix_kernel(
     P, K, D, G, H, W, Wp,
     ls_ref, lu0_ref, lu1_ref, lr_ref, lv0_ref, lv1_ref,
@@ -123,40 +145,26 @@ def _pix_kernel(
 ):
     """Grid step y: emit the banded per-pixel BT cost row (1, W, 128).
 
-    Inputs are (P, 8, width) blocks holding the 8-row group around row y
-    for each frame; one row is extracted by masked sublane reduction
-    (dynamic sublane slices must be 8-aligned on Mosaic).
+    Inputs are (1, width, P) interleaved-frame row blocks — the 3-D
+    layout makes single-row blocks legal ((width, P) trailing dims) so no
+    masked row extraction is needed, and (row, P) slabs feed _pack_mm.
     """
-    y = pl.program_id(0)
-    row_in_block = jax.lax.rem(y, jnp.int32(8))
 
-    def take(ref, b, n):
-        blk = ref[b, :, :n].astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
-        return jnp.sum(jnp.where(rows == row_in_block, blk, 0.0), axis=0)
-
-    laneW = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
-
-    # Packed padded right rows + packed shift map (per-frame lanes).
-    def pack(ref, n, lane):
-        out = None
-        for b in range(P):
-            t = jnp.broadcast_to(take(ref, b, n)[:, None], (n, 128))
-            out = t if out is None else jnp.where(lane % P == b, t, out)
-        return out
+    def pack(ref):
+        return _pack_mm(ref[0], P)
 
     # Shift values at the CENTER pixel (the select mask for all three
     # neighbor samples: vl/vr belong to disparity s(x)+k, so the x-1/x+1
     # samples must use s(x), not their own column's s — selecting each
     # row by its own s breaks the BT half-extrema at tile transitions).
-    s_c = pack(s_ref, W + 2, jax.lax.broadcasted_iota(jnp.int32, (W + 2, 128), 1))[1 : W + 1]
+    s_c = pack(s_ref)[1 : W + 1]
 
     def banded_channel(v_ref, l_row, u0_row, u1_row):
         # Stack St[x', k] = row_p[x' - k] over the (Wp, 128) packed
         # workspace (row_p = D-left/1-right replicate-padded right row),
         # via log2(K) masked sublane shifts — identical structure to
         # cost_pallas._build_shifted, with the lane mask on k = lane//P.
-        B = pack(v_ref, Wp, jax.lax.broadcasted_iota(jnp.int32, (Wp, 128), 1))
+        B = pack(v_ref)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Wp, 128), 1)
         k_lane = lane // P
         shift = 1
@@ -186,12 +194,8 @@ def _pix_kernel(
         c1 = jnp.maximum(jnp.maximum(0.0, M - u1_row), u0_row - M)
         return jnp.minimum(c0, c1)
 
-    c_sob = banded_channel(
-        vs_ref, pack(ls_ref, W, laneW), pack(lu0_ref, W, laneW), pack(lu1_ref, W, laneW)
-    )
-    c_raw = banded_channel(
-        vr_ref, pack(lr_ref, W, laneW), pack(lv0_ref, W, laneW), pack(lv1_ref, W, laneW)
-    )
+    c_sob = banded_channel(vs_ref, pack(ls_ref), pack(lu0_ref), pack(lu1_ref))
+    c_raw = banded_channel(vr_ref, pack(lr_ref), pack(lv0_ref), pack(lv1_ref))
     out_ref[0] = (c_sob + jnp.floor(c_raw / 4.0)).astype(out_ref.dtype)
 
 
@@ -221,23 +225,15 @@ def banded_pixel_cost_pack(
     D, G = ndisp, granularity
     Wp = W + D + 1
 
-    Hp = ((H + 7) // 8) * 8
-    padh = lambda a: jnp.pad(a, ((0, 0), (0, Hp - H), (0, 0)), mode="edge")
-    padw = lambda a, n: jnp.pad(a, ((0, 0), (0, 0), (0, n - a.shape[2])))
-    Wl = ((W + 127) // 128) * 128
-    W2 = ((W + 2 + 127) // 128) * 128
-    Wr = ((Wp + 127) // 128) * 128
-
-    lefts = [padw(padh(a.astype(jnp.int16)), Wl) for a in (ls, lu0, lu1, lraw, lv0, lv1)]
-    rights = [
-        jnp.pad(padh(a.astype(jnp.int16)), ((0, 0), (0, 0), (0, Wr - Wp)), mode="edge")
-        for a in (vs_pad, vr_pad)
-    ]
-    s_in = jnp.pad(padh(s.astype(jnp.int16)), ((0, 0), (0, 0), (0, W2 - (W + 2))), mode="edge")
+    # Interleaved-frame (H, width, P) layout: single-row blocks are then
+    # legal 3-D blocks and feed the MXU packer directly.
+    hwp = lambda a: jnp.moveaxis(a, 0, -1).astype(jnp.int32)
+    lefts = [hwp(a) for a in (ls, lu0, lu1, lraw, lv0, lv1)]
+    rights = [hwp(a) for a in (vs_pad, vr_pad)]
+    s_in = hwp(s)
 
     spec = lambda width: pl.BlockSpec(
-        (P, 8, width), lambda y: (0, jnp.minimum(y, H - 1) // 8, 0),
-        memory_space=pltpu.VMEM,
+        (1, width, P), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
@@ -246,7 +242,7 @@ def banded_pixel_cost_pack(
     return pl.pallas_call(
         kern,
         grid=(H,),
-        in_specs=[spec(Wl)] * 6 + [spec(Wr)] * 2 + [spec(W2)],
+        in_specs=[spec(W)] * 6 + [spec(Wp)] * 2 + [spec(W + 2)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
@@ -294,14 +290,9 @@ def _aligned_box_kernel(P, K, G, bs, H, W,
     at slots 0..3; column deltas s(y,x)-s(y,x+dx), dx in (-2,-1,1,2), at
     slots 4..7 (slot idx*P + b for frame b).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
 
     def packd(idx):
-        out = None
-        for b in range(P):
-            t = jnp.broadcast_to(d_ref[0, :, idx * P + b][:, None], (W, 128))
-            out = t if out is None else jnp.where(lane % P == b, t, out)
-        return out
+        return _pack_mm(d_ref[0, :, idx * P : (idx + 1) * P], P)
 
     center = p0_ref[0].astype(jnp.float32)
     acc = center
@@ -365,68 +356,80 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
 # ---------------------------------------------------------------------------
 
 
-def _vert_kernel(P, K, G, P1, P2, with_diag,
-                 c_dn_ref, c_up_ref, d_ref,
-                 s_dn_ref, s_up_ref, L_ref):
-    """Grid step r: one down row (r) + one up row (H-1-r) per step.
+def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
+    """Grid step r: 8 down rows (8r..8r+7) + the mirrored 8 up rows.
+
+    Tile-aligned batching: the shift map is constant on 8-row tiles
+    aligned to the block grid, so the VERTICAL carry needs re-alignment
+    only at block entry (row 8r vs 8r-1) — 7 of 8 updates are plain.
+    Diagonal carries cross COLUMN tiles every row and keep per-row
+    alignment (the 8-path premium).
 
     L scratch: (6, W, 128) — [0] dn-vert [1] dn-diag+1 [2] dn-diag-1,
-    [3..5] the up set. d_ref: (1, W, 6*P) — all six delta maps packed
-    into one input (separate (1, W, P) blocks lane-pad 4 -> 128 in VMEM,
-    a 32x bloat that blew the scoped-VMEM budget); slot idx*P + b holds
-    delta idx [dv_dn, dv_up, dd_dn, dd_up, du_dn, du_up] of frame b.
+    [3..5] the up set. de_ref: (1, W, 2P) block-entry vertical deltas
+    [dn, up]; ddn_ref/dup_ref: (8, W, 2P) per-row diagonal deltas
+    [towards +x, towards -x] (up arrays pre-flipped; present only when
+    with_diag — their lane-padded blocks cost ~19 MB VMEM otherwise).
     """
+    if with_diag:
+        c_dn_ref, c_up_ref, de_ref, ddn_ref, dup_ref, s_dn_ref, s_up_ref, L_ref = refs
+    else:
+        c_dn_ref, c_up_ref, de_ref, s_dn_ref, s_up_ref, L_ref = refs
+        ddn_ref = dup_ref = None
     r = pl.program_id(0)
     W = s_dn_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
-
-    def packd(idx):
-        out = None
-        for b in range(P):
-            # int32 refs: indexing i16 refs lowers to an unsupported i16
-            # shape cast on this Mosaic; [:, None] is 32-bit-only.
-            t = jnp.broadcast_to(d_ref[0, :, idx * P + b][:, None], (W, 128))
-            out = t if out is None else jnp.where(lane % P == b, t, out)
-        return out
+    first_blk = r == 0
 
     for up in (False, True):
-        c = (c_up_ref if up else c_dn_ref)[0].astype(jnp.float32)
-        dv = packd(1 if up else 0)
+        c_blk = (c_up_ref if up else c_dn_ref)
         base = 3 if up else 0
         out_ref = s_up_ref if up else s_dn_ref
-        first = r == 0
+        dv = _pack_mm(de_ref[0, :, (1 if up else 0) * P : (2 if up else 1) * P], P)
+        d_diag = dup_ref if up else ddn_ref
 
-        @pl.when(first)
-        def _init(c=c, base=base, out_ref=out_ref):
-            for k in range(3 if with_diag else 1):
-                L_ref[base + k] = c
-            out_ref[0] = (c * (3 if with_diag else 1)).astype(out_ref.dtype)
+        for j in range(8):
+            row = 7 - j if up else j
+            c = c_blk[row].astype(jnp.float32)
 
-        @pl.when(jnp.logical_not(first))
-        def _step(c=c, dv=dv, base=base, out_ref=out_ref, up=up):
-            Lv = _update_packed(
-                c, _align_packed(L_ref[base], dv, P, K, G), P, K, P1, P2
-            )
-            L_ref[base] = Lv
-            if with_diag:
-                dd = packd(3 if up else 2)
-                du = packd(5 if up else 4)
-                # column shifts (sublane axis), zero-fill border
-                zrow = jnp.zeros((1, 128), jnp.float32)
-                Ldp = jnp.concatenate([zrow, L_ref[base + 1][:-1]], axis=0)
-                Lup = jnp.concatenate([L_ref[base + 2][1:], zrow], axis=0)
-                Ld = _update_packed(
-                    c, _align_packed(Ldp, dd, P, K, G, diag=True), P, K, P1, P2
-                )
-                Lu = _update_packed(
-                    c, _align_packed(Lup, du, P, K, G, diag=True), P, K, P1, P2
-                )
-                L_ref[base + 1] = Ld
-                L_ref[base + 2] = Lu
-                out = Lv + Ld + Lu
+            if j == 0:
+                @pl.when(first_blk)
+                def _init(c=c, base=base, out_ref=out_ref, row=row):
+                    for k in range(3 if with_diag else 1):
+                        L_ref[base + k] = c
+                    out_ref[row] = (c * (3 if with_diag else 1)).astype(out_ref.dtype)
+
+            def _step(c=c, dv=dv, base=base, out_ref=out_ref, row=row, j=j, d_diag=d_diag, up=up):
+                if j == 0:
+                    Lv = _update_packed(
+                        c, _align_packed(L_ref[base], dv, P, K, G), P, K, P1, P2
+                    )
+                else:
+                    Lv = _update_packed(c, L_ref[base], P, K, P1, P2, may_miss=False)
+                L_ref[base] = Lv
+                if with_diag:
+                    dd = _pack_mm(d_diag[j, :, 0:P], P)
+                    du = _pack_mm(d_diag[j, :, P : 2 * P], P)
+                    # column shifts (sublane axis), zero-fill border
+                    zrow = jnp.zeros((1, 128), jnp.float32)
+                    Ldp = jnp.concatenate([zrow, L_ref[base + 1][:-1]], axis=0)
+                    Lup = jnp.concatenate([L_ref[base + 2][1:], zrow], axis=0)
+                    Ld = _update_packed(
+                        c, _align_packed(Ldp, dd, P, K, G, diag=True), P, K, P1, P2
+                    )
+                    Lu = _update_packed(
+                        c, _align_packed(Lup, du, P, K, G, diag=True), P, K, P1, P2
+                    )
+                    L_ref[base + 1] = Ld
+                    L_ref[base + 2] = Lu
+                    out = Lv + Ld + Lu
+                else:
+                    out = Lv
+                out_ref[row] = out.astype(out_ref.dtype)
+
+            if j == 0:
+                pl.when(jnp.logical_not(first_blk))(_step)
             else:
-                out = Lv
-            out_ref[0] = out.astype(out_ref.dtype)
+                _step()
 
 
 _BW = 8
@@ -434,42 +437,41 @@ _BW = 8
 
 def _horiz_kernel(P, K, G, P1, P2, reverse, c_ref, dh_ref, s_ref, L_ref):
     """One horizontal direction over column blocks of _BW (cf.
-    sgm_pallas._horizontal_kernel), with packed alignment per column.
+    sgm_pallas._horizontal_kernel).
 
-    Grid is (row bands, column blocks), column index fastest: rows are
-    independent in horizontal scans, so banding rows keeps every VMEM
-    block small (the lane-padded (Hb, _BW, P) delta blocks included).
+    Tile-aligned batching: shift-map column tiles are _BW-wide and
+    aligned to the block grid, so the carry re-aligns only at BLOCK
+    entry (dh_ref: (1, H, P) entry delta per block); the remaining 7
+    column updates are plain.
     """
-    b0 = pl.program_id(1)
-    Hb = c_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Hb, 128), 1)
+    b0 = pl.program_id(0)
+    first_blk = b0 == 0
+    dh = _pack_mm(dh_ref[0], P)
 
     for j in range(_BW):
         col = _BW - 1 - j if reverse else j
         c = c_ref[:, col].astype(jnp.float32)
 
-        def packd(col=col):
-            out = None
-            for b in range(P):
-                t = jnp.broadcast_to(dh_ref[:, col, b][:, None], (Hb, 128))
-                out = t if out is None else jnp.where(lane % P == b, t, out)
-            return out
+        if j == 0:
+            @pl.when(first_blk)
+            def _init(c=c, col=col):
+                L_ref[:] = c
+                s_ref[:, col] = c.astype(s_ref.dtype)
 
-        first = (b0 == 0) & (j == 0)
-
-        @pl.when(first)
-        def _init(c=c, col=col):
-            L_ref[:] = c
-            s_ref[:, col] = c.astype(s_ref.dtype)
-
-        @pl.when(jnp.logical_not(first))
-        def _step(c=c, col=col):
-            dh = packd(col)
-            L2 = _update_packed(
-                c, _align_packed(L_ref[:], dh, P, K, G), P, K, P1, P2
-            )
+        def _step(c=c, col=col, j=j):
+            if j == 0:
+                L2 = _update_packed(
+                    c, _align_packed(L_ref[:], dh, P, K, G), P, K, P1, P2
+                )
+            else:
+                L2 = _update_packed(c, L_ref[:], P, K, P1, P2, may_miss=False)
             L_ref[:] = L2
             s_ref[:, col] = L2.astype(s_ref.dtype)
+
+        if j == 0:
+            pl.when(jnp.logical_not(first_blk))(_step)
+        else:
+            _step()
 
 
 # ---------------------------------------------------------------------------
@@ -486,6 +488,12 @@ def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
     All lane concats/slices run on 2-D (W, 128) values — Mosaic's vector
     layout pass aborts on lane slices of 3-D values (the proven sgm
     kernels only ever lane-op 2-D blocks) — so blocks are single rows.
+
+    The subpixel samples and the uniqueness verdict use MXU group-sums
+    (one-hot masked S @ the group matrix A[l, l'] = (l % P == l' % P))
+    instead of rotation butterflies: the mask picks exactly one lane per
+    group so the sum IS the sample. S values exceed bf16's 8-bit mantissa,
+    so those matmuls run at HIGHEST precision (exact f32 3-pass).
     """
     _, W, _ = a_ref.shape
     S = (
@@ -495,16 +503,23 @@ def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
         + d_ref[0].astype(jnp.float32)
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+    rowl = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lanel = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    A = (rowl % P == lanel % P).astype(jnp.float32)
+    gsum = lambda m: jax.lax.dot(m, A, precision=jax.lax.Precision.HIGHEST)
+
     ds = (lane // P).astype(jnp.float32)
     minS = _rot_min(S, P, K)
     best = _rot_min(jnp.where(S == minS, ds, float(K)), P, K)
     if uniq > 0:
         offend = ((minS * (100.0 + uniq) > S * 100.0) & (jnp.abs(ds - best) > 1.0)).astype(jnp.float32)
-        uok = 1.0 - _rot_min(offend, P, K, op=jnp.maximum)
+        # offend is 0/1 (bf16-exact) — the default-precision group-sum
+        # counts offenders per frame.
+        uok = (jax.lax.dot(offend, A) < 0.5).astype(jnp.float32)
     else:
         uok = jnp.ones_like(minS)
     d0 = jnp.clip(best, 1.0, float(K - 2))
-    sel = lambda tgt: _rot_min(jnp.where(ds == tgt, S, _FILL), P, K)
+    sel = lambda tgt: gsum(jnp.where(ds == tgt, S, 0.0))
     stats = [minS, best, sel(d0 - 1.0), sel(d0), sel(d0 + 1.0), uok]
     # lane j = P*stat_idx + b reads stat's replicated value at k = stat_idx
     # (the value is replicated across the group, so no lane movement is
@@ -553,94 +568,107 @@ def banded_reduce_pack(
     with_diag = num_paths >= 8
 
     W = ((W0 + _BW - 1) // _BW) * _BW
+    Hp = ((H + 7) // 8) * 8
     cf = C if C.dtype == jnp.int16 else C.astype(jnp.float32)
-    if W != W0:
-        cf = jnp.pad(cf, ((0, 0), (0, W - W0), (0, 0)))
-        s = jnp.pad(s, ((0, 0), (0, 0), (0, W - W0)), mode="edge")
+    if W != W0 or Hp != H:
+        # Zero-cost pad rows/cols with edge-extended s: zero cost + zero
+        # delta carries the border rule through the pad (sgm_pallas
+        # reasoning) and keeps the 8-aligned tile grid intact.
+        cf = jnp.pad(cf, ((0, Hp - H), (0, W - W0), (0, 0)))
+        s = jnp.pad(s, ((0, 0), (0, Hp - H), (0, W - W0)), mode="edge")
 
-    # Delta arrays in (H, W, P) layout — the only 3-D layout whose
-    # last-two block dims ((W, P) row blocks / (_BW, P) column blocks)
-    # satisfy Mosaic's (8k|full, 128k|full) constraint. int32: indexing
-    # an i16 ref lowers to an unsupported i16 shape cast on this Mosaic.
-    def hwp(a):  # (P, H, W) -> (H, W, P) int32
+    # Tile-aligned batching (the kernels re-align carries only at 8-row /
+    # 8-column block boundaries): requires the shift map constant on
+    # 8x8 tiles aligned to this region's origin — guaranteed by
+    # hier.shift_map (tile = coarse_factor*tile = 8) plus min_x % 8 == 0.
+    def hwp(a):  # (P, h, w) -> (h, w, P) int32 (i16 refs don't index)
         return jnp.moveaxis(a, 0, -1).astype(jnp.int32)
 
-    # Row deltas (current - predecessor), zero on the first scanned row
-    # and where the predecessor column is out of image (banded.row_delta).
-    def row_deltas(sp):  # sp: (P, H, W) in scan order
+    nR = Hp // 8
+    sf = jnp.flip(s, 1)
+
+    def entry_deltas(sp):  # (P, Hp, W) -> (nR, W, P): s(8r) - s(8r-1)
+        d = sp[:, 8::8] - sp[:, 7:-1:8]
         z = jnp.zeros_like(sp[:, :1])
-        dv = jnp.concatenate([z, sp[:, 1:] - sp[:, :-1]], axis=1)
+        return hwp(jnp.concatenate([z, d], axis=1))
+
+    de = jnp.concatenate([entry_deltas(s), entry_deltas(sf)], axis=-1)
+
+    def diag_deltas(sp):  # per-row diagonal deltas (Hp, W, 2P)
+        z = jnp.zeros_like(sp[:, :1])
         prev = sp[:, :-1]
         pd = jnp.concatenate([sp[:, 1:, :1], prev[:, :, :-1]], axis=2)
         dd = jnp.concatenate([z, sp[:, 1:] - pd], axis=1)
         pu = jnp.concatenate([prev[:, :, 1:], sp[:, 1:, -1:]], axis=2)
         du = jnp.concatenate([z, sp[:, 1:] - pu], axis=1)
-        return hwp(dv), hwp(dd), hwp(du)
+        return jnp.concatenate([hwp(dd), hwp(du)], axis=-1)
 
-    dv_dn, dd_dn, du_dn = row_deltas(s)
-    dv_up, dd_up, du_up = row_deltas(jnp.flip(s, 1))
-    # up delta arrays are built on the FLIPPED s: their row i corresponds
-    # to image row H-1-i, exactly the flipped-scan reference. All six
-    # pack into ONE (H, W, 6P) input (see _vert_kernel docstring).
-    d_all = jnp.concatenate(
-        [dv_dn, dv_up, dd_dn, dd_up, du_dn, du_up], axis=-1
-    )
+    specC_dn = pl.BlockSpec((8, W, 128), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    specC_up = pl.BlockSpec((8, W, 128), lambda r: (nR - 1 - r, 0, 0), memory_space=pltpu.VMEM)
+    specDE = pl.BlockSpec((1, W, 2 * P), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    specDG = pl.BlockSpec((8, W, 2 * P), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
 
-    specC_dn = pl.BlockSpec((1, W, 128), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
-    specC_up = pl.BlockSpec((1, W, 128), lambda r: (H - 1 - r, 0, 0), memory_space=pltpu.VMEM)
-    specD = pl.BlockSpec((1, W, 6 * P), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    args = (cf, cf, de)
+    in_specs = [specC_dn, specC_up, specDE]
+    if with_diag:
+        args = args + (diag_deltas(s), diag_deltas(sf))
+        in_specs += [specDG, specDG]
 
     vert = pl.pallas_call(
         functools.partial(_vert_kernel, P, K, G, float(P1), float(P2), with_diag),
-        grid=(H,),
-        in_specs=[specC_dn, specC_up, specD],
+        grid=(nR,),
+        in_specs=in_specs,
         out_specs=[specC_dn, specC_up],
-        out_shape=[jax.ShapeDtypeStruct((H, W, 128), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W, 128), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((6, W, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )
-    s_dn, s_up = vert(cf, cf, d_all)
+    s_dn, s_up = vert(*args)
 
-    # Horizontal: column deltas, zero at each scan's first column.
-    zc = jnp.zeros_like(s[:, :, :1])
-    dh_lr = jnp.concatenate([zc, s[:, :, 1:] - s[:, :, :-1]], axis=2)
-    dh_rl_f = jnp.flip(s, 2)
-    dh_rl = jnp.concatenate([zc, dh_rl_f[:, :, 1:] - dh_rl_f[:, :, :-1]], axis=2)
-    dh_rl = jnp.flip(dh_rl, 2)  # store unflipped; kernel walks right->left
-    dh_lr, dh_rl = hwp(dh_lr), hwp(dh_rl)
-
+    # Horizontal: block-entry column deltas per direction.
     nB = W // _BW
-    # Row bands: rows are independent, and small (Hb, ...) blocks keep
-    # the lane-padded delta blocks within the scoped-VMEM budget.
-    Hb = min(((H + 7) // 8) * 8, 120)
-    Hpb = ((H + Hb - 1) // Hb) * Hb
-    nH = Hpb // Hb
-    cfh = jnp.pad(cf, ((0, Hpb - H), (0, 0), (0, 0))) if Hpb != H else cf
+
+    def col_entry(sp):  # (P, Hp, W) -> (nB, Hp, P): s(8b) - s(8b-1)
+        d = sp[:, :, 8::8] - sp[:, :, 7:-1:8]
+        z = jnp.zeros_like(sp[:, :, :1])
+        return jnp.moveaxis(
+            jnp.concatenate([z, d], axis=2), (0, 1, 2), (2, 1, 0)
+        ).astype(jnp.int32)
+
+    dh_lr = col_entry(s)
+    # R->L: block nB-1-b entered at its rightmost column 8B+7 with
+    # predecessor 8B+8 (zero at the rightmost block).
+    d_rl = s[:, :, 7:-1:8] - s[:, :, 8::8]
+    dh_rl = jnp.moveaxis(
+        jnp.concatenate([d_rl, jnp.zeros_like(s[:, :, :1])], axis=2),
+        (0, 1, 2), (2, 1, 0),
+    ).astype(jnp.int32)
 
     def horiz(reverse):
         if reverse:
-            imapC = lambda h, b: (h, nB - 1 - b, 0)
+            imapC = lambda b: (0, nB - 1 - b, 0)
+            imapD = lambda b: (nB - 1 - b, 0, 0)
         else:
-            imapC = lambda h, b: (h, b, 0)
-        dh = dh_rl if reverse else dh_lr
-        dhp = jnp.pad(dh, ((0, Hpb - H), (0, 0), (0, 0))) if Hpb != H else dh
+            imapC = lambda b: (0, b, 0)
+            imapD = lambda b: (b, 0, 0)
         return pl.pallas_call(
             functools.partial(_horiz_kernel, P, K, G, float(P1), float(P2), reverse),
-            grid=(nH, nB),
+            grid=(nB,),
             in_specs=[
-                pl.BlockSpec((Hb, _BW, 128), imapC, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hb, _BW, P), imapC, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hp, P), imapD, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((Hb, _BW, 128), imapC, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Hpb, W, 128), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((Hb, 128), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+            out_specs=pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Hp, W, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((Hp, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
             interpret=interpret,
-        )(cfh, dhp)[:H]
+        )(cf, dh_rl if reverse else dh_lr)
 
     s_lr = horiz(False)
     s_rl = horiz(True)
+    s_dn, s_up, s_lr, s_rl = (a[:H] for a in (s_dn, s_up, s_lr, s_rl))
 
     spec_in = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -652,12 +680,11 @@ def banded_reduce_pack(
         out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.float32),
         interpret=interpret,
     )(s_dn, s_up, s_lr, s_rl)
-    outs = outs[:, :W0]
-
-    def stat(idx):
-        return jnp.stack([outs[:, :, P * idx + b] for b in range(P)])  # (P, H, W)
-
-    return tuple(stat(i) for i in range(6))
+    # ONE contiguous lane slice + reshape, not 24 strided slices (each
+    # strided slice re-reads the full 472 MB volume in XLA).
+    packed = outs[:, :W0, : 6 * P].reshape(H, W0, 6, P)
+    stats = jnp.moveaxis(packed, (2, 3), (0, 1))  # (6, P, H, W)
+    return tuple(stats[i] for i in range(6))
 
 
 # ---------------------------------------------------------------------------

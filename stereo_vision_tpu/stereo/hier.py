@@ -345,9 +345,13 @@ def stereo_sgbm_hier_batch(
     Hc, Wc = lc.shape[1:]
     s0 = jnp.zeros((P, Hc, Wc), jnp.int32)
     cstats = banded_stats_pack(lc, rc, s0, cp, Dc, G, min_x=Dc, interpret=interpret)
-    disp_c = jax.vmap(
-        lambda *st: _assemble_disparity(st, None, Wc, Dc, Dc, Dc, cp, "scan")
-    )(*cstats)
+    # Per-frame python loop, NOT vmap: XLA lays the vmapped LR-check
+    # intermediates out with the batch axis minormost (s32[4,H,W]{0,2,1},
+    # a 32x lane-padding expansion that OOMs HBM at 720p).
+    disp_c = jnp.stack([
+        _assemble_disparity([st[b] for st in cstats], None, Wc, Dc, Dc, Dc, cp, "scan")
+        for b in range(P)
+    ])
 
     # 2. Shift maps.
     s = jax.vmap(lambda d: shift_map(d, D, hp))(disp_c)
@@ -359,20 +363,20 @@ def stereo_sgbm_hier_batch(
     # 3. Banded packed core on the full-range valid region.
     stats = banded_stats_pack(left, right, s, params, B, G, min_x=D, interpret=interpret)
 
-    full = jax.vmap(
-        lambda sv, *st: _assemble_disparity(st, sv, W, D, D, B, params, "scan")
-    )(s[:, :, D:], *stats)
-
-    if params.speckle_window_size > 0:
-        full = jax.vmap(
-            lambda d: speckle_filter(
-                d,
+    frames = []
+    for b in range(P):
+        fb = _assemble_disparity(
+            [st[b] for st in stats], s[b, :, D:], W, D, D, B, params, "scan"
+        )
+        if params.speckle_window_size > 0:
+            fb = speckle_filter(
+                fb,
                 max_diff=float(params.speckle_range),
                 max_speckle_size=params.speckle_window_size,
                 invalid_value=-1.0,
             )
-        )(full)
-    return full
+        frames.append(fb)
+    return jnp.stack(frames)
 
 
 stereo_sgbm_hier_jit = jax.jit(stereo_sgbm_hier, static_argnames=("params", "hp"))
