@@ -39,3 +39,69 @@ def test_uneven_band_raises(mesh4):
     C = jnp.zeros((1, 10, 8, 8), jnp.int32)  # 10 rows not divisible by 4
     with pytest.raises(ValueError, match="divisible"):
         sgm_aggregate_sharded(C, 200, 800, mesh4)
+
+
+def _scene_pair(rng, F, H, W, max_disp):
+    """Smoothed-noise stereo stack with a varying shift per frame."""
+    pairs = []
+    for f in range(F):
+        pad = max_disp
+        base = rng.uniform(0, 255, (H, W + pad)).astype(np.float32)
+        for _ in range(2):
+            base = (
+                base
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1)
+                + np.roll(base, 1, 0) + np.roll(base, -1, 0)
+            ) / 5.0
+        base = (base - base.min()) / (np.ptp(base) + 1e-9) * 255.0
+        d = rng.integers(2, max_disp, ())
+        left = base[:, pad - d : pad - d + W]
+        right = base[:, pad : pad + W]
+        pairs.append((left, right))
+    l = np.clip(np.stack([p[0] for p in pairs]), 0, 255).astype(np.int32)
+    r = np.clip(np.stack([p[1] for p in pairs]), 0, 255).astype(np.int32)
+    return l, r
+
+
+@pytest.mark.parametrize("num_paths", [8, 4])
+def test_sharded_full_pipeline_exact(mesh4, num_paths):
+    """stereo_sgbm_sharded == per-frame stereo_sgbm('scan'), bit-exact —
+    cost halo over ppermute, pipelined aggregation, band-local WTA/LR,
+    cross-band speckle, all under one shard_map."""
+    from stereo_vision_tpu.parallel.sgm_sharded import stereo_sgbm_sharded
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
+
+    rng = np.random.default_rng(7)
+    F, H, W, D = 3, 32, 48, 16
+    l, r = _scene_pair(rng, F, H, W, D - 2)
+    params = StereoSGBMParams(
+        num_disparities=D, block_size=5, uniqueness_ratio=10,
+        disp12_max_diff=1, speckle_window_size=50, speckle_range=2,
+        backend="scan", num_paths=num_paths,
+    )
+    got = np.asarray(
+        stereo_sgbm_sharded(jnp.asarray(l), jnp.asarray(r), params, mesh4)
+    )
+    for f in range(F):
+        ref = np.asarray(stereo_sgbm(jnp.asarray(l[f]), jnp.asarray(r[f]), params))
+        np.testing.assert_array_equal(got[f], ref, err_msg=f"frame {f}")
+
+
+def test_sharded_full_pipeline_no_post(mesh4):
+    """Exactness also without LR/speckle (pure WTA path)."""
+    from stereo_vision_tpu.parallel.sgm_sharded import stereo_sgbm_sharded
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
+
+    rng = np.random.default_rng(11)
+    F, H, W, D = 2, 16, 40, 8
+    l, r = _scene_pair(rng, F, H, W, D - 2)
+    params = StereoSGBMParams(
+        num_disparities=D, block_size=3, uniqueness_ratio=0,
+        disp12_max_diff=-1, speckle_window_size=0, backend="scan",
+    )
+    got = np.asarray(
+        stereo_sgbm_sharded(jnp.asarray(l), jnp.asarray(r), params, mesh4)
+    )
+    for f in range(F):
+        ref = np.asarray(stereo_sgbm(jnp.asarray(l[f]), jnp.asarray(r[f]), params))
+        np.testing.assert_array_equal(got[f], ref, err_msg=f"frame {f}")
