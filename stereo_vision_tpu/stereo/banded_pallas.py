@@ -123,18 +123,28 @@ def _align_packed(L, delta_lanes, P, K, G, diag=False):
 
 
 def _pack_mm(vals, P):
-    """(n, P) per-frame values -> (n, 128) b-minor packed broadcast via
-    ONE MXU matmul with the 0/1 tile matrix E[b, l] = (l % P == b).
+    """(P, n) per-frame values -> (n, 128) b-minor packed broadcast via
+    ONE MXU contraction with the 0/1 tile matrix E[b, l] = (l % P == b)
+    (dot_general contracting dim 0 of both — no explicit transpose).
 
     Exact in the default bf16 MXU pass: every packed value here is an
     integer <= 255 (image levels, extrema, shift deltas), and E is 0/1.
     Replaces a 4-broadcast + 4-select chain (~8 VPU ops over the full
     width) per packed row — the chains were ~half the pix kernel's time.
+
+    The (P, n) orientation is load-bearing: per-frame operands enter the
+    kernels as (1, P, width) blocks, sublane-padded 4->8 (2x). The
+    transposed (1, width, P) blocks put P on the LANE axis, and XLA
+    materializes every such intermediate tile-padded P=4 -> 128 (32x):
+    feeding the pix kernel that way measured 12.5 ms/frame vs 3.1 for
+    this layout, identical kernel math.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
     E = (lane % P == rows).astype(jnp.float32)
-    return jax.lax.dot(vals.astype(jnp.float32), E)
+    return jax.lax.dot_general(
+        vals.astype(jnp.float32), E, (((0,), (0,)), ((), ()))
+    )
 
 
 def _pix_kernel(
@@ -145,9 +155,10 @@ def _pix_kernel(
 ):
     """Grid step y: emit the banded per-pixel BT cost row (1, W, 128).
 
-    Inputs are (1, width, P) interleaved-frame row blocks — the 3-D
-    layout makes single-row blocks legal ((width, P) trailing dims) so no
-    masked row extraction is needed, and (row, P) slabs feed _pack_mm.
+    Inputs are (1, P, width) frame-major row blocks — the 3-D layout
+    makes single-row blocks legal, P rides the SUBLANE axis (pad 4->8,
+    2x; lane-axis P would tile-pad 4->128, 32x — see _pack_mm), and the
+    (P, width) slabs feed _pack_mm directly.
     """
 
     def pack(ref):
@@ -225,15 +236,16 @@ def banded_pixel_cost_pack(
     D, G = ndisp, granularity
     Wp = W + D + 1
 
-    # Interleaved-frame (H, width, P) layout: single-row blocks are then
-    # legal 3-D blocks and feed the MXU packer directly.
-    hwp = lambda a: jnp.moveaxis(a, 0, -1).astype(jnp.int32)
-    lefts = [hwp(a) for a in (ls, lu0, lu1, lraw, lv0, lv1)]
-    rights = [hwp(a) for a in (vs_pad, vr_pad)]
-    s_in = hwp(s)
+    # Frame-major (H, P, width) layout: single-row blocks are legal 3-D
+    # blocks, feed the MXU packer directly, and keep P on the sublane
+    # axis (see _pack_mm on why lane-axis P costs 32x tile padding).
+    hpw = lambda a: jnp.moveaxis(a, 0, 1).astype(jnp.int32)
+    lefts = [hpw(a) for a in (ls, lu0, lu1, lraw, lv0, lv1)]
+    rights = [hpw(a) for a in (vs_pad, vr_pad)]
+    s_in = hpw(s)
 
     spec = lambda width: pl.BlockSpec(
-        (1, width, P), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
+        (1, P, width), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
@@ -286,13 +298,13 @@ def _aligned_box_kernel(P, K, G, bs, H, W,
     """Grid step y: windowed banded cost row, fully aligned.
 
     pix rows stream via 5 clamped-index specs (image-border replicate).
-    d_ref: (1, W, 8P) i32 — row deltas s(y)-s(y+dy), dy in (-2,-1,1,2),
+    d_ref: (1, 8P, W) i32 — row deltas s(y)-s(y+dy), dy in (-2,-1,1,2),
     at slots 0..3; column deltas s(y,x)-s(y,x+dx), dx in (-2,-1,1,2), at
-    slots 4..7 (slot idx*P + b for frame b).
+    slots 4..7 (sublane idx*P + b for frame b).
     """
 
     def packd(idx):
-        return _pack_mm(d_ref[0, :, idx * P : (idx + 1) * P], P)
+        return _pack_mm(d_ref[0, idx * P : (idx + 1) * P, :], P)
 
     center = p0_ref[0].astype(jnp.float32)
     acc = center
@@ -327,8 +339,8 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
     deltas = [s - se[:, 2 + dy : 2 + dy + H] for dy in (-2, -1, 1, 2)]
     deltas += [s - sxe[:, :, 2 + dx : 2 + dx + W] for dx in (-2, -1, 1, 2)]
     d_all = jnp.concatenate(
-        [jnp.moveaxis(d, 0, -1).astype(jnp.int32) for d in deltas], axis=-1
-    )  # (H, W, 8P)
+        [jnp.moveaxis(d, 0, 1).astype(jnp.int32) for d in deltas], axis=1
+    )  # (H, 8P, W) — P on sublanes (see _pack_mm)
 
     def spec_dy(dy):
         return pl.BlockSpec(
@@ -337,7 +349,7 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
             memory_space=pltpu.VMEM,
         )
 
-    specD = pl.BlockSpec((1, W, 8 * P), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+    specD = pl.BlockSpec((1, 8 * P, W), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
     kern = functools.partial(_aligned_box_kernel, P, K, G, block_size, H, W)
     return pl.pallas_call(
@@ -366,8 +378,8 @@ def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
     alignment (the 8-path premium).
 
     L scratch: (6, W, 128) — [0] dn-vert [1] dn-diag+1 [2] dn-diag-1,
-    [3..5] the up set. de_ref: (1, W, 2P) block-entry vertical deltas
-    [dn, up]; ddn_ref/dup_ref: (8, W, 2P) per-row diagonal deltas
+    [3..5] the up set. de_ref: (1, 2P, W) block-entry vertical deltas
+    [dn, up]; ddn_ref/dup_ref: (8, 2P, W) per-row diagonal deltas
     [towards +x, towards -x] (up arrays pre-flipped; present only when
     with_diag — their lane-padded blocks cost ~19 MB VMEM otherwise).
     """
@@ -384,7 +396,7 @@ def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
         c_blk = (c_up_ref if up else c_dn_ref)
         base = 3 if up else 0
         out_ref = s_up_ref if up else s_dn_ref
-        dv = _pack_mm(de_ref[0, :, (1 if up else 0) * P : (2 if up else 1) * P], P)
+        dv = _pack_mm(de_ref[0, (1 if up else 0) * P : (2 if up else 1) * P, :], P)
         d_diag = dup_ref if up else ddn_ref
 
         for j in range(8):
@@ -407,8 +419,8 @@ def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
                     Lv = _update_packed(c, L_ref[base], P, K, P1, P2, may_miss=False)
                 L_ref[base] = Lv
                 if with_diag:
-                    dd = _pack_mm(d_diag[j, :, 0:P], P)
-                    du = _pack_mm(d_diag[j, :, P : 2 * P], P)
+                    dd = _pack_mm(d_diag[j, 0:P, :], P)
+                    du = _pack_mm(d_diag[j, P : 2 * P, :], P)
                     # column shifts (sublane axis), zero-fill border
                     zrow = jnp.zeros((1, 128), jnp.float32)
                     Ldp = jnp.concatenate([zrow, L_ref[base + 1][:-1]], axis=0)
@@ -581,32 +593,32 @@ def banded_reduce_pack(
     # 8-column block boundaries): requires the shift map constant on
     # 8x8 tiles aligned to this region's origin — guaranteed by
     # hier.shift_map (tile = coarse_factor*tile = 8) plus min_x % 8 == 0.
-    def hwp(a):  # (P, h, w) -> (h, w, P) int32 (i16 refs don't index)
-        return jnp.moveaxis(a, 0, -1).astype(jnp.int32)
+    def hpw(a):  # (P, h, w) -> (h, P, w) int32, P on sublanes
+        return jnp.moveaxis(a, 0, 1).astype(jnp.int32)
 
     nR = Hp // 8
     sf = jnp.flip(s, 1)
 
-    def entry_deltas(sp):  # (P, Hp, W) -> (nR, W, P): s(8r) - s(8r-1)
+    def entry_deltas(sp):  # (P, Hp, W) -> (nR, P, W): s(8r) - s(8r-1)
         d = sp[:, 8::8] - sp[:, 7:-1:8]
         z = jnp.zeros_like(sp[:, :1])
-        return hwp(jnp.concatenate([z, d], axis=1))
+        return hpw(jnp.concatenate([z, d], axis=1))
 
-    de = jnp.concatenate([entry_deltas(s), entry_deltas(sf)], axis=-1)
+    de = jnp.concatenate([entry_deltas(s), entry_deltas(sf)], axis=1)
 
-    def diag_deltas(sp):  # per-row diagonal deltas (Hp, W, 2P)
+    def diag_deltas(sp):  # per-row diagonal deltas (Hp, 2P, W)
         z = jnp.zeros_like(sp[:, :1])
         prev = sp[:, :-1]
         pd = jnp.concatenate([sp[:, 1:, :1], prev[:, :, :-1]], axis=2)
         dd = jnp.concatenate([z, sp[:, 1:] - pd], axis=1)
         pu = jnp.concatenate([prev[:, :, 1:], sp[:, 1:, -1:]], axis=2)
         du = jnp.concatenate([z, sp[:, 1:] - pu], axis=1)
-        return jnp.concatenate([hwp(dd), hwp(du)], axis=-1)
+        return jnp.concatenate([hpw(dd), hpw(du)], axis=1)
 
     specC_dn = pl.BlockSpec((8, W, 128), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
     specC_up = pl.BlockSpec((8, W, 128), lambda r: (nR - 1 - r, 0, 0), memory_space=pltpu.VMEM)
-    specDE = pl.BlockSpec((1, W, 2 * P), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
-    specDG = pl.BlockSpec((8, W, 2 * P), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    specDE = pl.BlockSpec((1, 2 * P, W), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    specDG = pl.BlockSpec((8, 2 * P, W), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
 
     args = (cf, cf, de)
     in_specs = [specC_dn, specC_up, specDE]
@@ -629,20 +641,20 @@ def banded_reduce_pack(
     # Horizontal: block-entry column deltas per direction.
     nB = W // _BW
 
-    def col_entry(sp):  # (P, Hp, W) -> (nB, Hp, P): s(8b) - s(8b-1)
+    def col_entry(sp):  # (P, Hp, W) -> (nB, P, Hp): s(8b) - s(8b-1)
         d = sp[:, :, 8::8] - sp[:, :, 7:-1:8]
         z = jnp.zeros_like(sp[:, :, :1])
-        return jnp.moveaxis(
-            jnp.concatenate([z, d], axis=2), (0, 1, 2), (2, 1, 0)
+        return jnp.transpose(
+            jnp.concatenate([z, d], axis=2), (2, 0, 1)
         ).astype(jnp.int32)
 
     dh_lr = col_entry(s)
     # R->L: block nB-1-b entered at its rightmost column 8B+7 with
     # predecessor 8B+8 (zero at the rightmost block).
     d_rl = s[:, :, 7:-1:8] - s[:, :, 8::8]
-    dh_rl = jnp.moveaxis(
+    dh_rl = jnp.transpose(
         jnp.concatenate([d_rl, jnp.zeros_like(s[:, :, :1])], axis=2),
-        (0, 1, 2), (2, 1, 0),
+        (2, 0, 1),
     ).astype(jnp.int32)
 
     def horiz(reverse):
@@ -657,7 +669,7 @@ def banded_reduce_pack(
             grid=(nB,),
             in_specs=[
                 pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hp, P), imapD, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, Hp), imapD, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Hp, W, 128), jnp.float32),
