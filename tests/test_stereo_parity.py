@@ -211,6 +211,24 @@ class TestStereoSGBM:
         err = np.abs(mine[valid] - gt[valid])
         assert np.median(err) < 1.0
 
+    def test_fast4_compliance(self):
+        """4-path fast mode (a bench.py headline candidate) meets the
+        BASELINE.json north-star contract vs cv2 MODE_HH: >= 98%
+        within-1px agreement, <= 1 px EPE. bench.py re-checks the same
+        gate in-run against the bit-exact 8-path output; this test pins
+        it against cv2 itself."""
+        left, right, _ = synthetic_pair(seed=5)
+        p4 = StereoSGBMParams(
+            num_disparities=32, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=50, speckle_range=2,
+            num_paths=4,
+        )
+        ref = self._cv_sgbm(p4._replace(num_paths=8)).compute(left, right)
+        mine = np.asarray(stereo_sgbm(jnp.asarray(left), jnp.asarray(right), p4))
+        agree, epe, overlap = agreement(mine, ref)
+        assert agree >= 0.98, (agree, epe, overlap)
+        assert epe <= 1.0, epe
+
 
 class TestHardScenes:
     """Parity where SGBM semantics bite (round-1 verdict: the smooth
