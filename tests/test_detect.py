@@ -250,3 +250,47 @@ class TestMaxAreaQuad:
                 - np.dot(quad[:, 1], np.roll(quad[:, 0], -1))
             )
             assert area >= best - 1e-9, (trial, area, best)
+
+
+class TestAdversarialRobustness:
+    """Pins the round-3 robustness fixes (benchmarks/checkerboard_robustness.py
+    runs the full 9-class matrix; these are its two fixed loss classes).
+    Reference bar: cv2 quad pipeline + blur retry, intrinsic.py:148-163."""
+
+    def test_heavy_motion_blur(self):
+        """15 px motion blur: blur-adaptive subpixel window. cv2 scores 5%
+        here; the jax backend must hold >= 80% over 10 seeds."""
+        from stereo_vision_tpu.synth.boards import degraded_board
+
+        ok_n = 0
+        for seed in range(10):
+            img, gt = degraded_board("blur_heavy", seed)
+            ok, corners = find_chessboard_corners(img, (7, 4), backend="jax")
+            if ok:
+                d = np.linalg.norm(np.asarray(corners)[:, None] - gt[None], axis=-1)
+                ok_n += d.min(axis=0).max() < 2.0
+        assert ok_n >= 8, ok_n
+
+    def test_pool_ordering_survives_spurious_candidates(self):
+        """_order_grid accepts an oversized candidate pool and must pick
+        the true lattice, ignoring off-grid spurious points."""
+        from stereo_vision_tpu.detect.checkerboard import _order_grid
+
+        rng = np.random.default_rng(3)
+        cols, rows = 7, 4
+        gx, gy = np.meshgrid(np.arange(cols), np.arange(rows))
+        pts = np.c_[40.0 * gx.ravel() + 100, 40.0 * gy.ravel() + 80]
+        pts += rng.normal(0, 0.3, pts.shape)
+        # Spurious responses land BETWEEN true corners (blur-induced false
+        # saddles), i.e. inside the hull — off-lattice points outside the
+        # hull would instead corrupt the max-area quad, which is why the
+        # detector keeps the pool small and tries exact-N first.
+        spurious = np.c_[
+            40.0 * rng.uniform(0.3, 0.7, 6) * (cols - 2) + 120,
+            40.0 * rng.uniform(0.3, 0.7, 6) * (rows - 2) + 100,
+        ]
+        pool = np.r_[pts, spurious]
+        ordered = _order_grid(pool[rng.permutation(len(pool))], cols, rows)
+        assert ordered is not None
+        err = np.linalg.norm(np.sort(ordered, axis=0) - np.sort(pts, axis=0), axis=-1)
+        assert err.max() < 1.5, err.max()
