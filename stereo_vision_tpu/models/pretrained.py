@@ -28,7 +28,7 @@ BALL_WEIGHTS = WEIGHTS_DIR / "ball_yolov8n.npz"
 POSE_WEIGHTS = WEIGHTS_DIR / "posenet_w24.npz"
 
 BALL_IMG_HW = (128, 128)
-POSE_IMG_HW = (128, 128)
+POSE_IMG_HW = (192, 192)  # r3: finer pixel quantum for the /4 heatmap head
 POSE_WIDTH = 24
 
 
@@ -94,9 +94,11 @@ def load_pose_net():
     return model, load_tree(POSE_WEIGHTS, like)
 
 
-def _make_bn_train_step(model, loss_of_out, tx):
+def _make_bn_train_step(model, loss_of_out, tx, apply_kwargs=None):
     """Jitted step with mutable batch_stats."""
     import jax
+
+    kw = apply_kwargs or {}
 
     @jax.jit
     def step(params, bstats, opt_state, *batch):
@@ -106,6 +108,7 @@ def _make_bn_train_step(model, loss_of_out, tx):
                 batch[0],
                 train=True,
                 mutable=["batch_stats"],
+                **kw,
             )
             return loss_of_out(out, *batch[1:]), upd["batch_stats"]
 
@@ -164,7 +167,7 @@ def train_ball_detector(
 
 
 def train_pose_net(
-    steps: int = 1000,
+    steps: int = 3000,
     batch: int = 16,
     seed: int = 0,
     out_path: Path = POSE_WEIGHTS,
@@ -175,7 +178,7 @@ def train_pose_net(
     import jax.numpy as jnp
     import optax
 
-    from stereo_vision_tpu.models.pose import pose_loss
+    from stereo_vision_tpu.models.pose import pose_loss_full
     from stereo_vision_tpu.synth import pose_training_batch
 
     H, W = POSE_IMG_HW
@@ -189,7 +192,12 @@ def train_pose_net(
     tx = optax.adamw(sched, weight_decay=1e-4)
     opt_state = tx.init(params)
 
-    step = _make_bn_train_step(model, lambda out, gt: pose_loss(out, gt), tx)
+    # The objective supervises the heatmap distribution too (pose.py
+    # round-3 notes); model.apply returns (landmarks, heat) here.
+    step = _make_bn_train_step(
+        model, lambda out, gt: pose_loss_full(out[0], out[1], gt), tx,
+        apply_kwargs={"return_heatmap": True},
+    )
     last = float("nan")
     for i in range(steps):
         imgs, gt = pose_training_batch(rng, batch, H, W)
