@@ -154,18 +154,24 @@ def speckle_filter(
     Total: ~5R rounds of cheap elementwise work (measured ~2 orders of
     magnitude faster than the gather formulation on TPU at 720p).
     """
-    H, W = disp.shape
+    # Accepts (..., H, W): leading batch axes run all frames inside the
+    # SAME propagation rounds (one fori_loop for the whole pack — the
+    # hier/batch paths call this with (P, H, W), amortizing per-round
+    # loop overhead instead of running P sequential filters). No shift
+    # ever crosses the batch axes, so per-frame semantics are identical.
+    H, W = disp.shape[-2:]
     S = int(max_speckle_size)
     if S <= 0:
         return disp
     R = S - 1
     valid = disp > invalid_value
+    zpad = tuple((0, 0) for _ in disp.shape[:-2])
 
     def nb(a, i, fill):
         """Value of ``a`` at p + _OFFS[i] (pad with ``fill``)."""
         dy, dx = _OFFS[i]
-        ap = jnp.pad(a, ((1, 1), (1, 1)), constant_values=fill)
-        return ap[1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+        ap = jnp.pad(a, zpad + ((1, 1), (1, 1)), constant_values=fill)
+        return ap[..., 1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
 
     masks = [
         valid & nb(valid, i, False) & (jnp.abs(nb(disp, i, jnp.inf) - disp) <= max_diff)
@@ -173,7 +179,9 @@ def speckle_filter(
     ]
 
     big = jnp.int32(H * W)
-    labels0 = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    labels0 = jnp.broadcast_to(
+        jnp.arange(H * W, dtype=jnp.int32).reshape(H, W), disp.shape
+    )
 
     # Phase 1: R rounds of min-propagation, tracking arrival round A.
     def prop(r, carry):
@@ -185,12 +193,12 @@ def speckle_filter(
         return new, A
 
     lab, A = jax.lax.fori_loop(
-        1, R + 1, prop, (labels0, jnp.zeros((H, W), jnp.int32))
+        1, R + 1, prop, (labels0, jnp.zeros(disp.shape, jnp.int32))
     )
 
     # Phase 2: parent direction (4 = root). First qualifying neighbor in
     # fixed order; reverse iteration + overwrite picks the first.
-    pdir = jnp.full((H, W), 4, jnp.int32)
+    pdir = jnp.full(disp.shape, 4, jnp.int32)
     for i in (3, 2, 1, 0):
         ok = masks[i] & (nb(lab, i, big) == lab) & (nb(A, i, big) < A)
         pdir = jnp.where(ok, i, pdir)
@@ -198,12 +206,12 @@ def speckle_filter(
 
     # Phase 3: up-sweep — s^(t)[p] = descendants of p within t levels.
     def up(_, s):
-        out = jnp.ones((H, W), jnp.int32)
+        out = jnp.ones(disp.shape, jnp.int32)
         for i in range(4):
             out = out + jnp.where(child[i], nb(s, i, 0), 0)
         return out
 
-    s = jax.lax.fori_loop(0, R, up, jnp.ones((H, W), jnp.int32))
+    s = jax.lax.fori_loop(0, R, up, jnp.ones(disp.shape, jnp.int32))
 
     # Phase 4: down-broadcast the root's exact tree size.
     def down(_, t):
@@ -215,7 +223,7 @@ def speckle_filter(
     total = jax.lax.fori_loop(0, R, down, jnp.where(pdir == 4, s, 0))
 
     # Phase 5: taint — seed at differing-label same-blob edges, OR-spread.
-    seed = jnp.zeros((H, W), bool)
+    seed = jnp.zeros(disp.shape, bool)
     for i in range(4):
         seed = seed | (masks[i] & (nb(lab, i, big) != lab))
 

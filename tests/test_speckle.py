@@ -139,3 +139,20 @@ class TestSpecklePallas:
             speckle_filter_pallas(jnp.asarray(disp), md, S, inv, interpret=True)
         )
         np.testing.assert_array_equal(out, ref)
+
+
+def test_batched_leading_axis_matches_per_frame():
+    """(P, H, W) input runs all frames in the same propagation rounds and
+    must equal P independent per-frame filters exactly (the hier batch
+    path relies on this)."""
+    rng = np.random.default_rng(7)
+    P, H, W = 3, 32, 48
+    disp = np.where(
+        rng.random((P, H, W)) < 0.6,
+        np.floor(rng.uniform(0, 64, (P, H, W))),
+        -1.0,
+    ).astype(np.float32)
+    batched = np.asarray(speckle_filter(jnp.asarray(disp), 2.0, 9, -1.0))
+    for p in range(P):
+        ref = np.asarray(speckle_filter(jnp.asarray(disp[p]), 2.0, 9, -1.0))
+        np.testing.assert_array_equal(batched[p], ref)
