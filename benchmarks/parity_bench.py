@@ -192,17 +192,38 @@ def config4() -> dict:
 
 
 def config5() -> dict:
-    """Batched stereo stream pipeline across the mesh (remap+BM+depth)."""
+    """Batched stereo stream pipeline at NATIVE 1080p (remap+matcher+depth).
+
+    Measures both matcher paths at the config's true resolution (the
+    640x360 `fps_1080p_equiv` pixel-rate extrapolation from round 2 is
+    gone): BM (D=64, block 15 — the production streaming config) and
+    SGBM (D=128, 8-path). Steady-state = N chained iterations in ONE jit
+    (a single re-dispatch under-counts through the remote tunnel and can
+    hit its value cache); the carry reduces over the FULL depth output so
+    no stage dead-codes, and touches a disparity pixel of the perturbed
+    frame to keep iterations value-dependent.
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
     from stereo_vision_tpu.parallel import create_mesh, make_sharded_pipeline
+    from stereo_vision_tpu.parallel.mesh import DATA_AXIS
+    from stereo_vision_tpu.parallel.streaming import batched_stereo_pipeline
     from stereo_vision_tpu.stereo.bm import StereoBMParams
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
     from stereo_vision_tpu.ops.rectify import stereo_rectify, init_undistort_rectify_map
+    from stereo_vision_tpu.utils.profiling import time_jitted
 
     n = len(jax.devices())
-    K = jnp.array([[800.0, 0, 320.0], [0, 800.0, 180.0], [0, 0, 1.0]], jnp.float32)
+    Hh, Ww = 1080, 1920
+    K = jnp.array(
+        [[1600.0, 0, Ww / 2], [0, 1600.0, Hh / 2], [0, 0, 1.0]], jnp.float32
+    )
     dist = jnp.zeros(8, jnp.float32)
-    size = (640, 360)
+    size = (Ww, Hh)
     R1, R2, P1, P2, Q = stereo_rectify(
         K, dist, K, dist, size, jnp.eye(3), jnp.array([-100.0, 0.0, 0.0]),
         alpha=0.0, horizontal_stereo=True,
@@ -214,53 +235,74 @@ def config5() -> dict:
     mesh = create_mesh(n, 1)
     run = make_sharded_pipeline(
         mesh, (maps[0], maps[1], maps[2], maps[3]), Q, matcher="bm",
-        params=StereoBMParams(num_disparities=32, block_size=9),
+        params=StereoBMParams(num_disparities=64, block_size=15),
     )
-    B = max(n, 2)
     rng = np.random.default_rng(0)
-    l = rng.integers(0, 255, (B, 360, 640)).astype(np.int32)
-    disp, pts = run(l, l)  # compile + sharding-path smoke
+    l2 = rng.integers(0, 255, (max(n, 2), Hh, Ww)).astype(np.int32)
+    disp, pts = run(l2, l2)  # compile + sharding-path smoke
     jax.block_until_ready(disp)
-    # Steady-state: N chained iterations in ONE jit (a single re-dispatch
-    # under-counts through the remote tunnel and can hit its value cache).
-    # Three hazards handled explicitly: (a) inputs are device_put with the
-    # mesh sharding so the timed program IS the sharded pipeline; (b) the
-    # carry reduces over the FULL depth output, so the elementwise depth
-    # stage cannot be dead-code-eliminated down to one pixel; (c) the
-    # carry also touches a disparity pixel in the perturbed frame, keeping
-    # the iteration chain value-dependent.
-    import functools
 
-    from jax.sharding import NamedSharding, PartitionSpec as PS
-
-    from stereo_vision_tpu.parallel.mesh import DATA_AXIS
-    from stereo_vision_tpu.parallel.streaming import batched_stereo_pipeline
-    from stereo_vision_tpu.stereo.bm import StereoBMParams as _P
-    from stereo_vision_tpu.utils.profiling import time_jitted
-
-    fn = functools.partial(
-        batched_stereo_pipeline, maps=maps[:4], Q=Q, matcher="bm",
-        params=_P(num_disparities=32, block_size=9),
-    )
-
-    def timed(a, b):
-        disp2, pts2 = fn(a, b)
-        return disp2, pts2
+    batch_sh = NamedSharding(mesh, PS(DATA_AXIS))
 
     def reduce_out(out):
         disp2, pts2 = out
         z = jnp.where(jnp.isfinite(pts2[..., 2]), pts2[..., 2], 0.0)
         return (jnp.sum(z) * 1e-9 + disp2[0, 8, 8]).astype(jnp.float32)
 
-    batch_sh = NamedSharding(mesh, PS(DATA_AXIS))
-    l_dev = jax.device_put(jnp.asarray(l), batch_sh)
-    dt = time_jitted(timed, (l_dev, l_dev), n=5, reduce_out=reduce_out)
+    def measure(matcher, params, B):
+        fn = functools.partial(
+            batched_stereo_pipeline, maps=maps[:4], Q=Q, matcher=matcher,
+            params=params,
+        )
+        lb = jax.device_put(
+            jnp.asarray(
+                rng.integers(0, 255, (B, Hh, Ww)).astype(np.int32)
+            ),
+            batch_sh,
+        )
+        dt = time_jitted(fn, (lb, lb), n=5, reduce_out=reduce_out)
+        # Progress line per matcher: a failure in a LATER matcher must not
+        # lose this one's number (1080p compiles take minutes each).
+        print(
+            f"# config5 {matcher}: {B * Hh * Ww / dt / 1e6:.1f} Mpx/s, "
+            f"{B / dt:.2f} fps",
+            file=sys.stderr, flush=True,
+        )
+        return B * Hh * Ww / dt / 1e6, B / dt
+
+    bm_mpx, bm_fps = measure(
+        "bm", StereoBMParams(num_disparities=64, block_size=15), max(n, 2)
+    )
+    # SGBM at 1080p: the D=128 volume is ~530 MB int16 per frame; batch 1
+    # on a single chip (HBM), scales with the data axis on a real mesh.
+    sgbm_mpx, sgbm_fps = measure(
+        "sgbm",
+        StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
+        ),
+        max(n, 1),
+    )
+    # Banded hierarchical SGBM (the bench.py headline mode, agreement-
+    # gated there) at native 1080p: one lane-packed program per 4 frames.
+    hier_mpx, hier_fps = measure(
+        "sgbm_hier",
+        StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
+            num_paths=4,
+        ),
+        4,
+    )
     return {
-        "config": "5_batched_streams_mesh",
+        "config": "5_batched_streams_mesh_1080p",
         "devices": n,
-        "batch": B,
-        "mpx_per_s": round(B * 360 * 640 / dt / 1e6, 2),
-        "fps_1080p_equiv": round(B * 360 * 640 / dt / (1920 * 1080), 2),
+        "bm_fps_1080p": round(bm_fps, 2),
+        "bm_mpx_per_s": round(bm_mpx, 2),
+        "sgbm_fps_1080p": round(sgbm_fps, 2),
+        "sgbm_mpx_per_s": round(sgbm_mpx, 2),
+        "sgbm_hier_fps_1080p": round(hier_fps, 2),
+        "sgbm_hier_mpx_per_s": round(hier_mpx, 2),
     }
 
 

@@ -47,6 +47,25 @@ def batched_stereo_pipeline(
     remap_l = make_remap(mx1, my1, (H, W))
     remap_r = make_remap(mx2, my2, (H, W))
 
+    if matcher == "sgbm_hier":
+        # Lane-packed hierarchical mode (stereo/hier.py): the whole pack
+        # runs in ONE set of banded Pallas kernels, so the batch is
+        # remapped first and handed over un-vmapped. Requires
+        # B == 128 // HierParams().band (4 at the default band of 32).
+        from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier_batch
+
+        def prep(m):
+            def one(x):
+                return jnp.round(m(x.astype(jnp.float32))).astype(jnp.int32)
+
+            return jax.vmap(one)
+
+        lr = prep(remap_l)(left)
+        rr = prep(remap_r)(right)
+        disp = stereo_sgbm_hier_batch(lr, rr, params or StereoSGBMParams(), HierParams())
+        pts = jax.vmap(lambda d: reproject_disparity_to_3d(d, Q))(disp)
+        return disp, pts
+
     def one(l, r):
         # Round to integer intensities (cv2 remaps uint8 -> uint8) before
         # the integer-cost matchers.

@@ -690,6 +690,12 @@ def banded_reduce_pack(
         in_specs=[spec_in] * 4,
         out_specs=spec_out,
         out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.float32),
+        # Width-scaled scoped-VMEM cap: 4 in + 1 out (1, W, 128) f32 rows
+        # double-buffered + kernel temporaries — the 16 MB default OOMs
+        # at 1080p (W=1792 needs 16.33M).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(64, max(24, 24 * W // 1280)) * 1024 * 1024
+        ),
         interpret=interpret,
     )(s_dn, s_up, s_lr, s_rl)
     # ONE contiguous lane slice + reshape, not 24 strided slices (each

@@ -242,6 +242,45 @@ def _assemble_disparity(
     return jax.lax.dynamic_update_slice(full, disp, (0, min_x))
 
 
+# A/B toggle: True = assemble the whole pack in one row-stacked call,
+# False = per-frame python loop (bit-identical; see _assemble_disparity_pack).
+# Measured on the chip (720p full config, interleaved trials): per-frame
+# 12.45-12.54 ms/frame vs row-stacked 12.78-13.09 — the P unrolled LR
+# select chains are independent and XLA overlaps them, while row-stacking
+# fuses them into ONE longer sequential chain. Same lesson as the six
+# rejected r2 experiments: never lengthen a dependency chain to save
+# dispatches.
+_PACK_ASSEMBLE = False
+
+
+def _assemble_disparity_pack(stats, s_v, W, min_x, ndisp_full, band, params, backend):
+    """Assemble the packed stats into (P, H, W) disparities.
+
+    Row-stacked form (``_PACK_ASSEMBLE``): every op in
+    :func:`_assemble_disparity` (subpixel parabola, LR check via static
+    row shifts, the column update-slice) is row-local, so the P frames
+    can be concatenated along rows and assembled in ONE call with
+    bit-identical per-frame output — but it measured ~3% slower (see
+    toggle note). The per-frame loop is the default. (The vmap
+    formulation is NOT equivalent in cost either way: XLA lays vmapped
+    LR intermediates out batch-minormost, a 32x lane-padding blowup.)
+    """
+    P, H = stats[0].shape[0], stats[0].shape[1]
+    if not _PACK_ASSEMBLE:
+        return jnp.stack([
+            _assemble_disparity(
+                [st[b] for st in stats],
+                None if s_v is None else s_v[b],
+                W, min_x, ndisp_full, band, params, backend,
+            )
+            for b in range(P)
+        ])
+    flat = [st.reshape(P * H, st.shape[-1]) for st in stats]
+    sv = None if s_v is None else s_v.reshape(P * H, s_v.shape[-1])
+    out = _assemble_disparity(flat, sv, W, min_x, ndisp_full, band, params, backend)
+    return out.reshape(P, H, W)
+
+
 def _coarse_params(params: StereoSGBMParams, D: int, f: int, hp: HierParams) -> StereoSGBMParams:
     return params._replace(
         num_disparities=D // f,
@@ -345,13 +384,7 @@ def stereo_sgbm_hier_batch(
     Hc, Wc = lc.shape[1:]
     s0 = jnp.zeros((P, Hc, Wc), jnp.int32)
     cstats = banded_stats_pack(lc, rc, s0, cp, Dc, G, min_x=Dc, interpret=interpret)
-    # Per-frame python loop, NOT vmap: XLA lays the vmapped LR-check
-    # intermediates out with the batch axis minormost (s32[4,H,W]{0,2,1},
-    # a 32x lane-padding expansion that OOMs HBM at 720p).
-    disp_c = jnp.stack([
-        _assemble_disparity([st[b] for st in cstats], None, Wc, Dc, Dc, Dc, cp, "scan")
-        for b in range(P)
-    ])
+    disp_c = _assemble_disparity_pack(list(cstats), None, Wc, Dc, Dc, Dc, cp, "scan")
 
     # 2. Shift maps.
     s = jax.vmap(lambda d: shift_map(d, D, hp))(disp_c)
@@ -363,20 +396,25 @@ def stereo_sgbm_hier_batch(
     # 3. Banded packed core on the full-range valid region.
     stats = banded_stats_pack(left, right, s, params, B, G, min_x=D, interpret=interpret)
 
-    frames = []
-    for b in range(P):
-        fb = _assemble_disparity(
-            [st[b] for st in stats], s[b, :, D:], W, D, D, B, params, "scan"
-        )
-        if params.speckle_window_size > 0:
-            fb = speckle_filter(
-                fb,
+    frames = _assemble_disparity_pack(
+        list(stats), s[:, :, D:], W, D, D, B, params, "scan"
+    )
+    if params.speckle_window_size > 0:
+        # Speckle stays per-frame, NOT batched: speckle_filter accepts
+        # (P, H, W) but the batched form measured 12% SLOWER on the chip
+        # (23.26 vs 20.81 ms per 4-frame dispatch — the while-loop carry
+        # quadruples and the rounds are bandwidth-bound, so there is no
+        # per-round overhead left to amortize).
+        frames = jnp.stack([
+            speckle_filter(
+                frames[b],
                 max_diff=float(params.speckle_range),
                 max_speckle_size=params.speckle_window_size,
                 invalid_value=-1.0,
             )
-        frames.append(fb)
-    return jnp.stack(frames)
+            for b in range(P)
+        ])
+    return frames
 
 
 stereo_sgbm_hier_jit = jax.jit(stereo_sgbm_hier, static_argnames=("params", "hp"))

@@ -125,6 +125,21 @@ def _vertical_kernel(P1, P2, with_diag, c_dn_ref, c_up_ref, s_dn_ref, s_up_ref, 
 _BW = 8  # horizontal block width (TPU sublane granularity)
 
 
+def _horiz_vmem_limit(H: int, D: int, in_itemsize: int, out_itemsize: int) -> int:
+    """Scoped-VMEM cap for the horizontal scan kernels.
+
+    Their blocks are full-height (H, _BW, D) columns, so the working set
+    (double-buffered in + out blocks plus the (H, D) carry scratch) scales
+    with H — at 1080p the compiler's 16 MB default OOMs ("scoped
+    allocation 17.40M ... limit 16.00M"). Size the cap from the actual
+    block bytes with 50% headroom, floored at the default and capped at
+    100 MB (v5e VMEM is 128 MB)."""
+    blocks = 2 * (H * _BW * D * in_itemsize + H * _BW * D * out_itemsize)
+    scratch = H * D * 4
+    want = int((blocks + scratch) * 1.5) + 2 * 1024 * 1024
+    return min(100 * 1024 * 1024, max(16 * 1024 * 1024, want))
+
+
 def _horizontal_kernel(P1, P2, reverse, c_ref, s_ref, L_ref):
     """Grid step b: advance one horizontal carry through the _BW columns of
     its block. ``reverse=False``: L->R over blocks 0..nB-1, columns 0.._BW-1;
@@ -200,7 +215,14 @@ def aggregate_8_pallas(
             jax.ShapeDtypeStruct((Hp, W, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
+        # Width-scaled scoped-VMEM cap: the working set (double-buffered
+        # in/out row blocks + the 6-carry full-width scratch) scales with
+        # W; the 28 MB default OOMs the compile at 1080p (W=1792 needs
+        # ~36 MB). v5e VMEM is 128 MB — cap at half so two kernels still
+        # overlap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(64, max(28, 28 * W // 1408 + 8)) * 1024 * 1024
+        ),
         interpret=interpret,
     )
     s_dn, s_up = vert(cf, cf)
@@ -222,6 +244,9 @@ def aggregate_8_pallas(
             out_specs=pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
             scratch_shapes=[pltpu.VMEM((H, D), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_horiz_vmem_limit(H, D, cf.dtype.itemsize, 4)
+            ),
             interpret=interpret,
         )(cf)
 
@@ -454,7 +479,14 @@ def sgm_reduce_pallas(
         ],
         out_shape=[jax.ShapeDtypeStruct((Hp, W, D), vdt)] * 2,
         scratch_shapes=[pltpu.VMEM((6, W, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
+        # Width-scaled scoped-VMEM cap: the working set (double-buffered
+        # in/out row blocks + the 6-carry full-width scratch) scales with
+        # W; the 28 MB default OOMs the compile at 1080p (W=1792 needs
+        # ~36 MB). v5e VMEM is 128 MB — cap at half so two kernels still
+        # overlap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(64, max(28, 28 * W // 1408 + 8)) * 1024 * 1024
+        ),
         interpret=interpret,
     )
     s_dn, s_up = vert(cf, cf)
@@ -476,6 +508,11 @@ def sgm_reduce_pallas(
             out_specs=pl.BlockSpec((H, _BW, D), index_map, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((H, W, D), vdt),
             scratch_shapes=[pltpu.VMEM((H, D), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_horiz_vmem_limit(
+                    H, D, cf.dtype.itemsize, jnp.dtype(vdt).itemsize
+                )
+            ),
             interpret=interpret,
         )(cf)
 
