@@ -62,7 +62,11 @@ def batched_stereo_pipeline(
 
         lr = prep(remap_l)(left)
         rr = prep(remap_r)(right)
-        disp = stereo_sgbm_hier_batch(lr, rr, params or StereoSGBMParams(), HierParams())
+        disp = stereo_sgbm_hier_batch(
+            lr, rr, params or StereoSGBMParams(), HierParams(),
+            # Pallas kernels need interpret mode off-TPU (CPU tests).
+            interpret=jax.default_backend() in ("cpu", "gpu"),
+        )
         pts = jax.vmap(lambda d: reproject_disparity_to_3d(d, Q))(disp)
         return disp, pts
 

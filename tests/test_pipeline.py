@@ -213,3 +213,51 @@ def test_sharded_sgbm_streams(cpu_mesh):
     disp, pts = run(l, l)
     assert disp.shape == (4, 64, 96)
     assert pts.shape == (4, 64, 96, 3)
+
+
+def test_streaming_sgbm_hier_matcher():
+    """The lane-packed hier matcher branch of batched_stereo_pipeline must
+    equal remap-then-stereo_sgbm_hier_batch done by hand (it is pure glue:
+    vmapped remap + rounding + the packed banded kernels + Q-reprojection).
+    Pack count is fixed at 128 // band = 4 frames."""
+    import jax
+    import jax.numpy as jnp
+    from stereo_vision_tpu.ops.rectify import stereo_rectify, init_undistort_rectify_map
+    from stereo_vision_tpu.ops.remap import make_remap
+    from stereo_vision_tpu.parallel.streaming import batched_stereo_pipeline
+    from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier_batch
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
+
+    K = jnp.array([[300.0, 0, 112.0], [0, 300.0, 48.0], [0, 0, 1.0]])
+    dist = jnp.zeros(8)
+    size = (224, 96)  # (W, H): W > D = 128 so a valid region exists
+    R1, R2, P1, P2, Q = stereo_rectify(
+        K, dist, K, dist, size, jnp.eye(3), jnp.array([-50.0, 0.0, 0.0]), alpha=0.0
+    )
+    maps = (
+        *init_undistort_rectify_map(K, dist, R1, P1, size),
+        *init_undistort_rectify_map(K, dist, R2, P2, size),
+    )
+    params = StereoSGBMParams(
+        num_disparities=128, block_size=5, uniqueness_ratio=10,
+        disp12_max_diff=1, speckle_window_size=20, speckle_range=2, num_paths=4,
+    )
+    rng = np.random.default_rng(3)
+    l = rng.integers(0, 255, (4, 96, 224)).astype(np.int32)
+    r = rng.integers(0, 255, (4, 96, 224)).astype(np.int32)
+
+    disp, pts = batched_stereo_pipeline(
+        l, r, maps[:4], Q, matcher="sgbm_hier", params=params
+    )
+    assert disp.shape == (4, 96, 224)
+    assert pts.shape == (4, 96, 224, 3)
+
+    def prep(mx, my, batch):
+        m = make_remap(mx, my, (96, 224))
+        one = lambda x: jnp.round(m(x.astype(jnp.float32))).astype(jnp.int32)
+        return jax.vmap(one)(batch)
+
+    lr = prep(maps[0], maps[1], jnp.asarray(l))
+    rr = prep(maps[2], maps[3], jnp.asarray(r))
+    ref = stereo_sgbm_hier_batch(lr, rr, params, HierParams(), interpret=True)
+    np.testing.assert_array_equal(np.asarray(disp), np.asarray(ref))
