@@ -13,7 +13,10 @@ mode's own throughput is reported in the same line for reference.
 Candidate modes (all full StereoSGBMParams semantics incl. speckle):
   exact8   — 8-path MODE_HH parity (bit-exact vs cv2; tests pin this)
   fast4    — 4-path (vertical + horizontal only) full-D search
-  hier4    — coarse-to-fine banded search (stereo/hier.py), 4-path
+  hier4    — coarse-to-fine banded search (stereo/hier.py), 4-path,
+             band 32 (4 frames per 128-lane pack)
+  hier16   — band-16 preset (HIER_FAST): 8 frames per pack, half the
+             per-frame core work; agreement pinned in tests/test_hier.py
 
 Timing method: N chained runs inside one jit dispatch (each iteration's
 input depends on the previous output), materialized at the end — immune
@@ -34,10 +37,10 @@ import numpy as np
 BASELINE_MPXS = 500.0
 H, W, D = 720, 1280, 128
 N = 5
-B = 4  # frames per dispatch: the lane-packed hier kernels process
-       # 128/band = 4 frames at full vector width; the full-D modes
-       # measured +18% at batch=4 over batch=1 (metric is per-chip
-       # throughput; per-frame latency is batch=1, benchmarks/kernel_bench.py).
+# Frames per dispatch, per mode: the lane-packed hier kernels process
+# 128/band frames at full vector width (4 at band 32, 8 at band 16); the
+# full-D modes measured +18% at batch=4 over batch=1 (metric is per-chip
+# throughput; per-frame latency is batch=1, benchmarks/kernel_bench.py).
 AGREE_GATE = 0.98  # BASELINE.json north_star: >= 98% within 1 px
 
 
@@ -80,7 +83,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
-    from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier_batch
+    from stereo_vision_tpu.stereo.hier import (
+        HIER_FAST,
+        HierParams,
+        stereo_sgbm_hier_batch,
+    )
 
     base = dict(
         num_disparities=D, block_size=5, uniqueness_ratio=10, disp12_max_diff=1,
@@ -90,16 +97,23 @@ def main() -> None:
     p4 = StereoSGBMParams(num_paths=4, **base)
 
     left, right = _scene()
-    l4 = jnp.asarray(np.stack([left] * B))
-    r4 = jnp.asarray(np.stack([right] * B))
 
-    modes = {
-        "exact8": lambda l, r: jax.vmap(lambda a, b: stereo_sgbm(a, b, p8))(l, r),
-        "fast4": lambda l, r: jax.vmap(lambda a, b: stereo_sgbm(a, b, p4))(l, r),
-        "hier4": lambda l, r: stereo_sgbm_hier_batch(l, r, p4, HierParams()),
+    modes = {  # name -> (fn, frames per dispatch)
+        "exact8": (lambda l, r: jax.vmap(lambda a, b: stereo_sgbm(a, b, p8))(l, r), 4),
+        "fast4": (lambda l, r: jax.vmap(lambda a, b: stereo_sgbm(a, b, p4))(l, r), 4),
+        "hier4": (lambda l, r: stereo_sgbm_hier_batch(l, r, p4, HierParams()), 4),
+        "hier16": (lambda l, r: stereo_sgbm_hier_batch(l, r, p4, HIER_FAST), 8),
     }
 
-    def timed(fn):
+    def batch(B):
+        return (
+            jnp.asarray(np.stack([left] * B)),
+            jnp.asarray(np.stack([right] * B)),
+        )
+
+    def timed(fn, B):
+        lb, rb = batch(B)
+
         @jax.jit
         def chained(l, r):
             def body(carry, i):
@@ -110,17 +124,17 @@ def main() -> None:
             c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(N))
             return c
 
-        _ = np.asarray(chained(l4, r4))  # compile + first run
+        _ = np.asarray(chained(lb, rb))  # compile + first run
         t0 = time.perf_counter()
-        _ = np.asarray(chained(l4, r4))
+        _ = np.asarray(chained(lb, rb))
         dt = (time.perf_counter() - t0) / N
         return B * H * W / dt / 1e6
 
     results = {}
     outs = {}
-    for name, fn in modes.items():
-        outs[name] = np.asarray(jax.jit(fn)(l4, r4))[0]
-        results[name] = timed(fn)
+    for name, (fn, B) in modes.items():
+        outs[name] = np.asarray(jax.jit(fn)(*batch(B)))[0]
+        results[name] = timed(fn, B)
         print(f"# {name}: {results[name]:.1f} Mpx/s", file=sys.stderr, flush=True)
 
     ref = outs["exact8"]

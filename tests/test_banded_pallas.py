@@ -189,3 +189,29 @@ class TestHierBatch:
         for b in range(P):
             single = np.asarray(stereo_sgbm_hier(left[b], right[b], params, hp))
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
+
+    def test_pack8_band16_matches_single_frame(self):
+        """The HIER_FAST preset packs 8 frames (band 16) and runs the
+        coarse pass in TWO 4-frame sub-packs (Dc=32 fills only 128/32
+        lanes) — both must still reproduce per-frame results exactly."""
+        from stereo_vision_tpu.stereo.hier import (
+            HIER_FAST,
+            stereo_sgbm_hier,
+            stereo_sgbm_hier_batch,
+        )
+
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(8, Hh, Wh, 128, seed=9)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=4,
+        )
+        batch = np.asarray(
+            stereo_sgbm_hier_batch(left, right, params, HIER_FAST, interpret=True)
+        )
+        for b in range(8):
+            single = np.asarray(
+                stereo_sgbm_hier(left[b], right[b], params, HIER_FAST)
+            )
+            np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")

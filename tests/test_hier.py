@@ -159,3 +159,36 @@ class TestHierAgreement:
 
     def test_big_jump_band64(self):
         self._run(bigjump_pair(), 0.975, 0.1, hp=HierParams(band=64))
+
+
+class TestHierFastAgreement:
+    """HIER_FAST (band 16, G 8, tile 1, local_window 1 — 8 frames per
+    128-lane pack, the bench.py `hier16` mode). Measured 2026-08-17 (CPU
+    scan backend, D=128, 240x512): ramp 0.9851, occlusion 0.9887,
+    repeated texture 1.0000, 50-px-jump 0.9834 — every adversarial scene
+    above the 0.98 BASELINE bar; pins keep a small margin."""
+
+    def _run(self, pair, thresh, epe_max):
+        from stereo_vision_tpu.stereo.hier import HIER_FAST
+
+        left, right, _ = pair
+        p = StereoSGBMParams(**FULL)
+        ref = _cv_full(p, left, right)
+        mine = np.asarray(
+            stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, HIER_FAST)
+        )
+        agree, epe, overlap = agreement(mine, ref)
+        assert agree >= thresh, (agree, epe, overlap)
+        assert epe <= epe_max, epe
+
+    def test_ramp_box(self):
+        self._run(synthetic_pair(h=240, w=512, max_disp=64, seed=0), 0.98, 0.2)
+
+    def test_occlusion(self):
+        self._run(occlusion_pair(h=240, w=512, maxd=64, seed=10), 0.983, 0.15)
+
+    def test_repeated_texture(self):
+        self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), 0.995, 0.02)
+
+    def test_big_jump(self):
+        self._run(bigjump_pair(), 0.978, 0.25)  # measured epe 0.216 (bar: <= 1 px)
