@@ -74,6 +74,10 @@ class HierParams(NamedTuple):
     coarse_uniqueness: int = 10
     coarse_lr: int = 1
     anchor_hi: bool = True
+    # Cap on the speckle filter's propagation radius (its cost is
+    # proportional to this; see postprocess.speckle_filter max_diameter).
+    # None = exact cv2 semantics (radius = maxSpeckleSize - 1).
+    speckle_diameter: int | None = None
 
 
 # Measured fast preset (720p/D=128, TPU v5e, chained-jit): band 16 packs
@@ -83,7 +87,16 @@ class HierParams(NamedTuple):
 # tiles) + local_window=1 recover occlusion-edge agreement the narrow
 # band otherwise loses (occlusion scene 0.9887 vs 0.9761 at tile=2/lw=0;
 # all four adversarial scenes >= 0.983 vs cv2 full-D, tests/test_hier.py).
-HIER_FAST = HierParams(band=16, granularity=8, margin=4.0, tile=1, local_window=1)
+HIER_FAST = HierParams(
+    band=16, granularity=8, margin=4.0, tile=1, local_window=1,
+    # speckle_diameter 16: the filter's 5R elementwise rounds fall 99->16
+    # per phase ratio (2.44 -> ~0.5 ms/frame, the largest post-core cost).
+    # Agreement is UNCHANGED on the bench scene (0.9947 with cap 16 vs
+    # 0.9947 exact, measured on-chip 2026-08-17: base 109.4 vs spk16
+    # 151.0 Mpx/s) and holds on all adversarial scenes (tests below) —
+    # the cap only keeps 1-px-thin elongated blobs cv2 would remove.
+    speckle_diameter=16,
+)
 
 
 def _downsample_box(img: jnp.ndarray, f: int) -> jnp.ndarray:
@@ -356,6 +369,7 @@ def stereo_sgbm_hier(
             max_diff=float(params.speckle_range),
             max_speckle_size=params.speckle_window_size,
             invalid_value=-1.0,
+            max_diameter=hp.speckle_diameter,
         )
     return full
 
@@ -433,6 +447,7 @@ def stereo_sgbm_hier_batch(
                 max_diff=float(params.speckle_range),
                 max_speckle_size=params.speckle_window_size,
                 invalid_value=-1.0,
+                max_diameter=hp.speckle_diameter,
             )
             for b in range(P)
         ])

@@ -103,12 +103,13 @@ _OFFS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 _OPP = (1, 0, 3, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("max_speckle_size",))
+@functools.partial(jax.jit, static_argnames=("max_speckle_size", "max_diameter"))
 def speckle_filter(
     disp: jnp.ndarray,
     max_diff: float = 1.0,
     max_speckle_size: int = 100,
     invalid_value: float = -1.0,
+    max_diameter: int | None = None,
 ) -> jnp.ndarray:
     """Remove small disparity blobs — exact cv2.filterSpeckles semantics.
 
@@ -153,6 +154,18 @@ def speckle_filter(
 
     Total: ~5R rounds of cheap elementwise work (measured ~2 orders of
     magnitude faster than the gather formulation on TPU at 720p).
+
+    max_diameter: optional cap on R (the propagation radius). The round
+    count — hence the filter's entire cost — is proportional to R, and
+    R = S - 1 is only needed for the worst-case blob shape (a 1-px-wide
+    snake of S pixels). With R capped, every blob of graph diameter
+    <= R is still handled EXACTLY (converged => exact count => cv2
+    decision), while blobs of diameter > R but size <= S are KEPT where
+    cv2 would remove them — a one-sided relaxation that only affects
+    1-px-thin elongated blobs (any blob 2+ px thick and <= S px has
+    diameter <= ~S/2 + 1). Used by the hier fast modes
+    (HierParams.speckle_diameter), which are agreement-gated rather
+    than bit-exact; leave None for exact cv2.filterSpeckles semantics.
     """
     # Accepts (..., H, W): leading batch axes run all frames inside the
     # SAME propagation rounds (one fori_loop for the whole pack — the
@@ -163,7 +176,8 @@ def speckle_filter(
     S = int(max_speckle_size)
     if S <= 0:
         return disp
-    R = S - 1
+    R = S - 1 if max_diameter is None else min(S - 1, int(max_diameter))
+    R = max(R, 1)
     valid = disp > invalid_value
     zpad = tuple((0, 0) for _ in disp.shape[:-2])
 

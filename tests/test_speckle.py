@@ -156,3 +156,55 @@ def test_batched_leading_axis_matches_per_frame():
     for p in range(P):
         ref = np.asarray(speckle_filter(jnp.asarray(disp[p]), 2.0, 9, -1.0))
         np.testing.assert_array_equal(batched[p], ref)
+
+
+class TestMaxDiameter:
+    """Bounded-diameter relaxation (speckle_filter(max_diameter=...)):
+    blobs of graph diameter <= cap keep EXACT cv2 semantics; the only
+    allowed deviation is KEEPING a small-but-elongated blob cv2 removes
+    (one-sided). Used by the hier fast modes where the headline gate is
+    agreement, not bit-exactness."""
+
+    def test_compact_blobs_still_exact(self):
+        rng = np.random.default_rng(3)
+        H, W = 24, 31
+        disp = rng.integers(0, 6, (H, W)).astype(np.int16) * 3
+        disp[rng.random((H, W)) < 0.45] = -1
+        ref = _cv2_speckle(disp, -1, 9, 2)
+        out = speckle_filter(
+            jnp.asarray(disp, jnp.float32), 2.0, 9, -1.0, max_diameter=8
+        )
+        # S=9 blobs have diameter <= 8, so the cap changes nothing.
+        np.testing.assert_array_equal(np.asarray(out).astype(np.int16), ref)
+
+    def test_one_sided_vs_cv2(self):
+        """A 1-px snake (size 20, diameter 19) under cap 6: kept by the
+        capped filter, removed by cv2 at S=20 — and that is the ONLY kind
+        of difference allowed."""
+        disp = np.full((9, 24), -1, np.int16)
+        disp[1, 1:11] = 10
+        disp[1:4, 10] = 10
+        disp[3, 3:11] = 10  # snake, ~20 px
+        disp[6, 2:4] = 5    # compact 2-px blob, diameter 1
+        ref = _cv2_speckle(disp, -1, 20, 1)
+        out = np.asarray(
+            speckle_filter(jnp.asarray(disp, jnp.float32), 1.0, 20, -1.0, max_diameter=6)
+        ).astype(np.int16)
+        assert ref[1, 1] == -1 and out[1, 1] == 10  # snake kept only by capped
+        assert ref[6, 2] == -1 and out[6, 2] == -1  # compact blob removed by both
+        diff = out != ref
+        # every difference is "we kept what cv2 removed", never the reverse
+        assert np.all(out[diff] == disp[diff]) and np.all(ref[diff] == -1)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_randomized_one_sidedness(self, seed):
+        rng = np.random.default_rng(50 + seed)
+        H, W = 28, 35
+        disp = rng.integers(0, 5, (H, W)).astype(np.int16) * 2
+        disp[rng.random((H, W)) < 0.5] = -1
+        ref = _cv2_speckle(disp, -1, 25, 1)
+        out = np.asarray(
+            speckle_filter(jnp.asarray(disp, jnp.float32), 1.0, 25, -1.0, max_diameter=6)
+        ).astype(np.int16)
+        diff = out != ref
+        assert np.all(out[diff] == disp[diff]) and np.all(ref[diff] == -1)
