@@ -99,13 +99,54 @@ HIER_FAST = HierParams(
 )
 
 
+def _pool_mat(n: int, nc: int, f: int) -> jnp.ndarray:
+    """(n, nc) 0/1 matrix with A[r, c] = (r // f == c)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, nc), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, nc), 1)
+    return (r // f == c).astype(jnp.float32)
+
+
 def _downsample_box(img: jnp.ndarray, f: int) -> jnp.ndarray:
-    """f x f box-mean downsample, rounded back to integer levels."""
-    H, W = img.shape
+    """f x f box-mean downsample, rounded back to integer levels.
+
+    Runs as two 0/1 pooling MATMULS (one per axis) instead of the
+    reshape-mean formulation: splitting the lane dimension by f is a
+    Mosaic relayout that measured 0.78 ms per 720p frame vs 0.21 for the
+    MXU form (benchmarks/resample_ab.py, v5e). Bit-exact for integer
+    images <= 255: the first contraction's bf16 operands are exact
+    integers with f32 accumulation; the second sees sums <= 255*f (past
+    bf16's 8-bit mantissa) and contracts in HIGHEST precision.
+    Accepts leading batch axes.
+    """
+    H, W = img.shape[-2:]
     Hc, Wc = H // f, W // f
-    x = img[: Hc * f, : Wc * f].astype(jnp.float32)
-    x = x.reshape(Hc, f, Wc, f).mean(axis=(1, 3))
-    return jnp.round(x).astype(jnp.int32)
+    x = img[..., : Hc * f, : Wc * f].astype(jnp.float32)
+    nd = x.ndim
+    t = jax.lax.dot_general(
+        x, _pool_mat(Hc * f, Hc, f), (((nd - 2,), (0,)), ((), ()))
+    )  # (..., W, Hc)
+    u = jax.lax.dot_general(
+        t, _pool_mat(Wc * f, Wc, f), (((nd - 2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (..., Hc, Wc)
+    return jnp.round(u / (f * f)).astype(jnp.int32)
+
+
+def _upsample_repeat(s: jnp.ndarray, f: int) -> jnp.ndarray:
+    """jnp.repeat(jnp.repeat(s, f, -2), f, -1) as two 0/1 expansion
+    matmuls (repeat is a lane relayout; measured 0.26 -> 0.21 ms per
+    720p map, benchmarks/resample_ab.py). Exact for int values <= 255
+    (one exact bf16 product per output). Accepts leading batch axes."""
+    Hc, Wc = s.shape[-2:]
+    nd = s.ndim
+    t = jax.lax.dot_general(
+        s.astype(jnp.float32), _pool_mat(Hc * f, Hc, f).T,
+        (((nd - 2,), (0,)), ((), ())),
+    )  # (..., Wc, H)
+    u = jax.lax.dot_general(
+        t, _pool_mat(Wc * f, Wc, f).T, (((nd - 2,), (0,)), ((), ())),
+    )  # (..., H, W)
+    return u.astype(s.dtype)
 
 
 def _fill_invalid(disp: jnp.ndarray, invalid_below: float, rounds: int = 12) -> jnp.ndarray:
@@ -221,8 +262,8 @@ def shift_map(
     # over background: -2.3% on the occlusion scene, -17% textureless).
     s = jnp.clip(s, 0.0, float(D - B)).astype(jnp.int32)
 
-    # Upsample tiles to pixels.
-    return jnp.repeat(jnp.repeat(s, f * t, axis=0), f * t, axis=1)
+    # Upsample tiles to pixels (MXU expansion; see _upsample_repeat).
+    return _upsample_repeat(s, f * t)
 
 
 def _assemble_disparity(
@@ -407,8 +448,8 @@ def stereo_sgbm_hier_batch(
 
     # 1. Coarse prior via the SAME packed kernels (band = Dc, s = 0).
     cp = _coarse_params(params, D, f, hp)
-    lc = jax.vmap(lambda a: _downsample_box(a, f))(left)
-    rc = jax.vmap(lambda a: _downsample_box(a, f))(right)
+    lc = _downsample_box(left, f)
+    rc = _downsample_box(right, f)
     Hc, Wc = lc.shape[1:]
     s0 = jnp.zeros((pack_c, Hc, Wc), jnp.int32)
     disp_c = jnp.concatenate([
