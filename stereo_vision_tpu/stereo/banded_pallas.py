@@ -147,22 +147,59 @@ def _pack_mm(vals, P):
     )
 
 
+
+
 def _pix_kernel(
-    P, K, D, G, H, W, Wp,
-    ls_ref, lu0_ref, lu1_ref, lr_ref, lv0_ref, lv1_ref,
-    vs_ref, vr_ref, s_ref,
+    P, K, D, G, ftz, H, W, Wp,
+    lm1_ref, l0_ref, lp1_ref, rm1_ref, r0_ref, rp1_ref, s_ref,
     out_ref,
 ):
     """Grid step y: emit the banded per-pixel BT cost row (1, W, 128).
 
-    Inputs are (1, P, width) frame-major row blocks — the 3-D layout
-    makes single-row blocks legal, P rides the SUBLANE axis (pad 4->8,
-    2x; lane-axis P would tile-pad 4->128, 32x — see _pack_mm), and the
-    (P, width) slabs feed _pack_mm directly.
+    Inputs are RAW image rows y-1/y/y+1 (clamped at the image border =
+    sobel's replicate rule) as (1, P, W) frame-major blocks — the 3-D
+    layout makes single-row blocks legal, P rides the SUBLANE axis (pad
+    4->8, 2x; lane-axis P would tile-pad 4->128, 32x — see _pack_mm),
+    and the (P, W) slabs feed _pack_mm directly.
+
+    Sobel, BT half-extrema, and the D-lane replicate pad of the right
+    row are ALL derived in-kernel on the packed (W, 128) sublane-major
+    layout (x shifts are cheap sublane concats there): the XLA prep
+    that used to build 8 materialized (P, H, W[+D+1]) arrays measured
+    0.95 ms/frame — ~15 unfused HBM passes against a ~0.1 ms floor
+    (benchmarks/prep_split_bench.py / bw_probe.py). Bit-exact: packed
+    operands are raw ints <= 255 (within bf16's mantissa), and every
+    derived value (sobel <= 2*ftz, row sums <= 1020, halved extrema) is
+    an exact f32 integer.
     """
 
     def pack(ref):
         return _pack_mm(ref[0], P)
+
+    xi = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+
+    def sobel(m1, p0, p1):
+        # dx is linear: apply it once to t = up + 2*mid + down.
+        t = m1 + 2.0 * p0 + p1
+        d = _shift_rows(t, 1) - _shift_rows(t, -1)  # t[x+1] - t[x-1]
+        v = jnp.clip(d, -float(ftz), float(ftz)) + float(ftz)
+        return jnp.where((xi == 0) | (xi == W - 1), float(ftz), v)
+
+    def extrema(a):
+        # cv2 BT half-sample extrema along x (cf. sgbm._bt_channel_cost).
+        vl = jnp.floor((a + _shift_rows(a, -1)) * 0.5)
+        vr = jnp.floor((a + _shift_rows(a, 1)) * 0.5)
+        vl = jnp.where(xi == 0, a, vl)
+        vr = jnp.where(xi == W - 1, a, vr)
+        return (
+            jnp.minimum(jnp.minimum(vl, vr), a),
+            jnp.maximum(jnp.maximum(vl, vr), a),
+        )
+
+    l0p = pack(l0_ref)
+    r0p = pack(r0_ref)
+    ls = sobel(pack(lm1_ref), l0p, pack(lp1_ref))
+    rs = sobel(pack(rm1_ref), r0p, pack(rp1_ref))
 
     # Shift values at the CENTER pixel (the select mask for all three
     # neighbor samples: vl/vr belong to disparity s(x)+k, so the x-1/x+1
@@ -170,67 +207,89 @@ def _pix_kernel(
     # row by its own s breaks the BT half-extrema at tile transitions).
     s_c = pack(s_ref)[1 : W + 1]
 
-    def banded_channel(v_ref, l_row, u0_row, u1_row):
-        # Stack St[x', k] = row_p[x' - k] over the (Wp, 128) packed
-        # workspace (row_p = D-left/1-right replicate-padded right row),
-        # via log2(K) masked sublane shifts — identical structure to
-        # cost_pallas._build_shifted, with the lane mask on k = lane//P.
-        B = pack(v_ref)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Wp, 128), 1)
-        k_lane = lane // P
-        shift = 1
-        while shift < K:
-            z = jnp.zeros((shift, 128), B.dtype)
-            shifted = jnp.concatenate([z, B[:-shift]], axis=0)
-            B = jnp.where((k_lane & shift) != 0, shifted, B)
-            shift *= 2
-        # Per-column s-select: {Em, M, Ep}[x, k] = St[x + D - s(x) + {-1,0,1}]
-        Em = M = Ep = None
-        for j in range(0, (D - K) // G + 1):
-            off = D - j * G - 1
-            sl = B[off : off + W + 2]
-            if Em is None:
-                Em, M, Ep = sl[0:W], sl[1 : W + 1], sl[2 : W + 2]
-            else:
-                hit = s_c == float(j * G)
-                Em = jnp.where(hit, sl[0:W], Em)
-                M = jnp.where(hit, sl[1 : W + 1], M)
-                Ep = jnp.where(hit, sl[2 : W + 2], Ep)
-        vl = jnp.floor((M + Em) * 0.5)
-        vr = jnp.floor((M + Ep) * 0.5)
-        v0 = jnp.minimum(jnp.minimum(vl, vr), M)
-        v1 = jnp.maximum(jnp.maximum(vl, vr), M)
-        lb = l_row
-        c0 = jnp.maximum(jnp.maximum(0.0, lb - v1), v0 - lb)
-        c1 = jnp.maximum(jnp.maximum(0.0, M - u1_row), u0_row - M)
+    # COMBINED-channel right row: encode (sobel, raw) as sob + 1024*raw —
+    # exact f32 integers <= 2^18 — so the k-shift stack build and the
+    # per-column s-alignment selects (the kernel's dominant vector-op
+    # blocks) run ONCE for both BT channels instead of twice.
+    v_row = rs + 1024.0 * r0p
+
+    # Replicate-pad D left / 1 right (sublane concat is cheap in this
+    # layout; the old host-side pad materialized a (P, H, W + D + 1)
+    # array per channel), then stack St[x', k] = row_p[x' - k] over the
+    # (Wp, 128) packed workspace via log2(K) masked sublane shifts —
+    # identical structure to cost_pallas._build_shifted, with the lane
+    # mask on k = lane // P.
+    B = jnp.concatenate(
+        [jnp.broadcast_to(v_row[:1], (D, 128)), v_row, v_row[-1:]], axis=0
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Wp, 128), 1)
+    k_lane = lane // P
+    shift = 1
+    while shift < K:
+        z = jnp.zeros((shift, 128), B.dtype)
+        shifted = jnp.concatenate([z, B[:-shift]], axis=0)
+        B = jnp.where((k_lane & shift) != 0, shifted, B)
+        shift *= 2
+    # Per-column s-select: {Em, M, Ep}[x, k] = St[x + D - s(x) + {-1,0,1}]
+    Em = M = Ep = None
+    for j in range(0, (D - K) // G + 1):
+        off = D - j * G - 1
+        sl = B[off : off + W + 2]
+        if Em is None:
+            Em, M, Ep = sl[0:W], sl[1 : W + 1], sl[2 : W + 2]
+        else:
+            hit = s_c == float(j * G)
+            Em = jnp.where(hit, sl[0:W], Em)
+            M = jnp.where(hit, sl[1 : W + 1], M)
+            Ep = jnp.where(hit, sl[2 : W + 2], Ep)
+
+    def split(c):
+        """combined value -> (sobel part, raw part); 2^-10 is a power of
+        two so the scale and floor are exact."""
+        r_part = jnp.floor(c * (1.0 / 1024.0))
+        return c - 1024.0 * r_part, r_part
+
+    Em_s, Em_r = split(Em)
+    M_s, M_r = split(M)
+    Ep_s, Ep_r = split(Ep)
+
+    def bt_cost(M_, Em_, Ep_, l_row, u0_row, u1_row):
+        vl = jnp.floor((M_ + Em_) * 0.5)
+        vr = jnp.floor((M_ + Ep_) * 0.5)
+        v0 = jnp.minimum(jnp.minimum(vl, vr), M_)
+        v1 = jnp.maximum(jnp.maximum(vl, vr), M_)
+        c0 = jnp.maximum(jnp.maximum(0.0, l_row - v1), v0 - l_row)
+        c1 = jnp.maximum(jnp.maximum(0.0, M_ - u1_row), u0_row - M_)
         return jnp.minimum(c0, c1)
 
-    c_sob = banded_channel(vs_ref, pack(ls_ref), pack(lu0_ref), pack(lu1_ref))
-    c_raw = banded_channel(vr_ref, pack(lr_ref), pack(lv0_ref), pack(lv1_ref))
+    c_sob = bt_cost(M_s, Em_s, Ep_s, ls, *extrema(ls))
+    c_raw = bt_cost(M_r, Em_r, Ep_r, l0p, *extrema(l0p))
     out_ref[0] = (c_sob + jnp.floor(c_raw / 4.0)).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ndisp", "band", "granularity", "interpret")
+    jax.jit,
+    static_argnames=("ndisp", "band", "granularity", "ftzero", "interpret"),
 )
 def banded_pixel_cost_pack(
-    ls, lu0, lu1, lraw, lv0, lv1, vs_pad, vr_pad, s,
-    ndisp: int, band: int, granularity: int, interpret: bool = False,
+    left, right, s,
+    ndisp: int, band: int, granularity: int, ftzero: int = 15,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Packed banded per-pixel BT cost.
+    """Packed banded per-pixel BT cost, straight from the RAW images.
 
     Args:
-      ls..lv1: (P, H, W) left-image rows (sobel / raw with half-extrema,
-        prepared by ``prep_left``).
-      vs_pad, vr_pad: (P, H, W + ndisp + 1) padded right rows
-        (``prep_right``).
+      left, right: (P, H, W) int images (<= 255 levels).
       s: (P, H, W + 2) edge-padded shift maps (int).
+
+    Sobel, half-extrema, and right-row padding happen inside the kernel
+    (see _pix_kernel) — no prepped intermediates touch HBM.
 
     Returns:
       (H, W, 128) int16, lane P*k + b = cost of frame b at disparity
       s_b(y, x) + k.
     """
-    P, H, W = ls.shape
+    P, H, W = left.shape
     K = band
     assert P * K == 128
     D, G = ndisp, granularity
@@ -240,26 +299,28 @@ def banded_pixel_cost_pack(
     # blocks, feed the MXU packer directly, and keep P on the sublane
     # axis (see _pack_mm on why lane-axis P costs 32x tile padding).
     hpw = lambda a: jnp.moveaxis(a, 0, 1).astype(jnp.int32)
-    lefts = [hpw(a) for a in (ls, lu0, lu1, lraw, lv0, lv1)]
-    rights = [hpw(a) for a in (vs_pad, vr_pad)]
-    s_in = hpw(s)
+    l_t, r_t, s_in = hpw(left), hpw(right), hpw(s)
 
-    spec = lambda width: pl.BlockSpec(
-        (1, P, width), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
-    )
+    def spec_dy(dy, width):
+        return pl.BlockSpec(
+            (1, P, width),
+            lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     out_spec = pl.BlockSpec(
         (1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = functools.partial(_pix_kernel, P, K, D, G, H, W, Wp)
+    kern = functools.partial(_pix_kernel, P, K, D, G, ftzero, H, W, Wp)
     return pl.pallas_call(
         kern,
         grid=(H,),
-        in_specs=[spec(W)] * 6 + [spec(Wp)] * 2 + [spec(W + 2)],
+        in_specs=[spec_dy(d, W) for d in (-1, 0, 1)] * 2 + [spec_dy(0, W + 2)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
-    )(*lefts, *rights, s_in)
+    )(l_t, l_t, l_t, r_t, r_t, r_t, s_in)
 
 
 # ---------------------------------------------------------------------------
@@ -759,23 +820,14 @@ def banded_stats_pack(
     Returns six (P, H, W - min_x) int32/bool maps:
       (minS, best_k, sm, s0, sp, unique_ok).
     """
-    from stereo_vision_tpu.stereo.sgbm import _xsobel_clipped
-
     P, H, W = left.shape
     D = params.num_disparities
-    ftz = params.ftzero
 
-    ls = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(left)
-    rs = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(right)
-    lsv, lu0, lu1 = prep_left(ls)
-    lrv, lv0, lv1 = prep_left(left.astype(jnp.int32))
-    vs = prep_right(rs, D)
-    vr = prep_right(right.astype(jnp.int32), D)
     s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
-
     pix = banded_pixel_cost_pack(
-        lsv, lu0, lu1, lrv, lv0, lv1, vs, vr, s_ext,
-        ndisp=D, band=band, granularity=granularity, interpret=interpret,
+        left.astype(jnp.int32), right.astype(jnp.int32), s_ext,
+        ndisp=D, band=band, granularity=granularity,
+        ftzero=params.ftzero, interpret=interpret,
     )
     # int16: windowed cost < 15k; halves the volume's HBM traffic and the
     # scan kernels' block DMAs (f32 blocks OOM'd scoped VMEM at 720p).

@@ -23,8 +23,6 @@ from stereo_vision_tpu.stereo.banded_pallas import (
     banded_pixel_cost_pack,
     banded_reduce_pack,
     banded_stats_pack,
-    prep_left,
-    prep_right,
 )
 from stereo_vision_tpu.stereo.hier import HierParams
 
@@ -55,21 +53,13 @@ class TestPixelCostPack:
     def test_exact_vs_reference(self):
         left, right = _rand_scene(P, H, W, D)
         s = _rand_shift_map(P, H, W, D, K, G)
-        from stereo_vision_tpu.stereo.sgbm import _xsobel_clipped
-        import jax
 
-        ftz = PARAMS.ftzero
-        ls = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(left)
-        rs = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(right)
-        lsv, lu0, lu1 = prep_left(ls)
-        lrv, lv0, lv1 = prep_left(left)
-        vs = prep_right(rs, D)
-        vr = prep_right(right, D)
         s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
         pix = np.asarray(
             banded_pixel_cost_pack(
-                lsv, lu0, lu1, lrv, lv0, lv1, vs, vr, s_ext,
-                ndisp=D, band=K, granularity=G, interpret=True,
+                left, right, s_ext,
+                ndisp=D, band=K, granularity=G, ftzero=PARAMS.ftzero,
+                interpret=True,
             )
         )
         kk = jnp.arange(K)
@@ -89,20 +79,12 @@ class TestAlignedBoxPack:
     def test_exact_vs_reference(self):
         left, right = _rand_scene(P, H, W, D, seed=2)
         s = _rand_shift_map(P, H, W, D, K, G, seed=3)
-        from stereo_vision_tpu.stereo.sgbm import _xsobel_clipped
-        import jax
 
-        ftz = PARAMS.ftzero
-        ls = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(left)
-        rs = jax.vmap(lambda im: _xsobel_clipped(im, ftz))(right)
-        lsv, lu0, lu1 = prep_left(ls)
-        lrv, lv0, lv1 = prep_left(left)
-        vs = prep_right(rs, D)
-        vr = prep_right(right, D)
         s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
         pix = banded_pixel_cost_pack(
-            lsv, lu0, lu1, lrv, lv0, lv1, vs, vr, s_ext,
-            ndisp=D, band=K, granularity=G, interpret=True,
+            left, right, s_ext,
+            ndisp=D, band=K, granularity=G, ftzero=PARAMS.ftzero,
+            interpret=True,
         )
         C = np.asarray(aligned_box_packed(pix, s, K, G, PARAMS.block_size, interpret=True))
         for b in range(P):
