@@ -89,13 +89,14 @@ class HierParams(NamedTuple):
 # all four adversarial scenes >= 0.983 vs cv2 full-D, tests/test_hier.py).
 HIER_FAST = HierParams(
     band=16, granularity=8, margin=4.0, tile=1, local_window=1,
-    # speckle_diameter 16: the filter's 5R elementwise rounds fall 99->16
-    # per phase ratio (2.44 -> ~0.5 ms/frame, the largest post-core cost).
-    # Agreement is UNCHANGED on the bench scene (0.9947 with cap 16 vs
-    # 0.9947 exact, measured on-chip 2026-08-17: base 109.4 vs spk16
-    # 151.0 Mpx/s) and holds on all adversarial scenes (tests below) —
-    # the cap only keeps 1-px-thin elongated blobs cv2 would remove.
-    speckle_diameter=16,
+    # speckle_diameter 8: the filter's 5R elementwise rounds fall 99->8
+    # per phase ratio (2.44 -> ~0.3 ms/frame; it was the largest
+    # post-core cost). Agreement moved 0.9947 -> 0.9946 on the bench
+    # scene across cap 99 -> 8 (on-chip A/Bs 2026-08-17/18: 109 -> 151
+    # Mpx/s at cap 16, -> 176 at cap 8) and holds on all adversarial
+    # scenes (tests below) — the cap only keeps thin elongated blobs
+    # (diameter > 8 but <= 100 px) that cv2 would remove.
+    speckle_diameter=8,
 )
 
 
@@ -473,8 +474,14 @@ def stereo_sgbm_hier_batch(
     # 3. Banded packed core on the full-range valid region.
     stats = banded_stats_pack(left, right, s, params, B, G, min_x=D, interpret=interpret)
 
+    backend = params.backend
+    if backend == "auto":
+        # Fused Pallas LR (stereo/lr_pallas.py): measured 164->169 Mpx/s
+        # on the hier16 headline config (benchmarks/hier_ab_r3c.py);
+        # bit-identical to the scan chains (tests/test_lr_pallas.py).
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
     frames = _assemble_disparity_pack(
-        list(stats), s[:, :, D:], W, D, D, B, params, "scan"
+        list(stats), s[:, :, D:], W, D, D, B, params, backend
     )
     if params.speckle_window_size > 0:
         # Speckle stays per-frame, NOT batched: speckle_filter accepts
