@@ -284,7 +284,8 @@ def config5() -> dict:
         max(n, 1),
     )
     # Banded hierarchical SGBM (the bench.py headline mode, agreement-
-    # gated there) at native 1080p: one lane-packed program per 4 frames.
+    # gated there) at native 1080p: one lane-packed program per 8 frames
+    # (HIER_FAST band 16, selected by B=8 in batched_stereo_pipeline).
     hier_mpx, hier_fps = measure(
         "sgbm_hier",
         StereoSGBMParams(
@@ -292,7 +293,7 @@ def config5() -> dict:
             disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
             num_paths=4,
         ),
-        4,
+        8,
     )
     return {
         "config": "5_batched_streams_mesh_1080p",

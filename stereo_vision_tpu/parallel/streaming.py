@@ -36,6 +36,7 @@ def batched_stereo_pipeline(
     Q: jnp.ndarray,
     matcher: str = "sgbm",
     params: StereoBMParams | StereoSGBMParams | None = None,
+    hier_params=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W) raw pairs -> (disparity (B, H, W), points3d (B, H, W, 3)).
 
@@ -51,8 +52,16 @@ def batched_stereo_pipeline(
         # Lane-packed hierarchical mode (stereo/hier.py): the whole pack
         # runs in ONE set of banded Pallas kernels, so the batch is
         # remapped first and handed over un-vmapped. Requires
-        # B == 128 // HierParams().band (4 at the default band of 32).
-        from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier_batch
+        # B == 128 // band: pass hier_params explicitly, or it is chosen
+        # by the batch size (8 -> HIER_FAST band 16, 4 -> band-32 default).
+        from stereo_vision_tpu.stereo.hier import (
+            HIER_FAST,
+            HierParams,
+            stereo_sgbm_hier_batch,
+        )
+
+        if hier_params is None:
+            hier_params = HIER_FAST if left.shape[0] == 8 else HierParams()
 
         def prep(m):
             def one(x):
@@ -63,7 +72,7 @@ def batched_stereo_pipeline(
         lr = prep(remap_l)(left)
         rr = prep(remap_r)(right)
         disp = stereo_sgbm_hier_batch(
-            lr, rr, params or StereoSGBMParams(), HierParams(),
+            lr, rr, params or StereoSGBMParams(), hier_params,
             # Pallas kernels need interpret mode off-TPU (CPU tests).
             interpret=jax.default_backend() in ("cpu", "gpu"),
         )
@@ -93,18 +102,32 @@ def make_sharded_pipeline(
     Q,
     matcher: str = "sgbm",
     params=None,
+    hier_params=None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]:
     """jit the batched pipeline with stream-batch sharding over ``data``.
 
     The returned function takes (B, H, W) uint8 arrays; B must be divisible
-    by the mesh's data-axis size.
+    by the mesh's data-axis size. For ``sgbm_hier`` the pipeline runs under
+    shard_map so each device gets a full 128-lane pack (B per device must
+    equal 128 // band); bm/sgbm are vmapped per frame and partition under
+    plain jit+shardings.
     """
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
 
     fn = functools.partial(
-        batched_stereo_pipeline, maps=maps, Q=Q, matcher=matcher, params=params
+        batched_stereo_pipeline, maps=maps, Q=Q, matcher=matcher,
+        params=params, hier_params=hier_params,
     )
+    if matcher == "sgbm_hier":
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_rep=False,
+        )
     jfn = jax.jit(
         fn,
         in_shardings=(batch_sh, batch_sh),
@@ -125,10 +148,15 @@ class StereoStreamProcessor:
     the reference's decode-then-process frame loop.
     """
 
-    def __init__(self, mesh: Mesh, maps, Q, matcher: str = "sgbm", params=None):
+    def __init__(
+        self, mesh: Mesh, maps, Q, matcher: str = "sgbm", params=None,
+        hier_params=None,
+    ):
         self.mesh = mesh
         self._sh = NamedSharding(mesh, P(DATA_AXIS))
-        self._fn = make_sharded_pipeline(mesh, maps, Q, matcher, params)
+        self._fn = make_sharded_pipeline(
+            mesh, maps, Q, matcher, params, hier_params
+        )
         self._pending = None
 
     def submit(self, left: np.ndarray, right: np.ndarray) -> None:

@@ -261,3 +261,63 @@ def test_streaming_sgbm_hier_matcher():
     rr = prep(maps[2], maps[3], jnp.asarray(r))
     ref = stereo_sgbm_hier_batch(lr, rr, params, HierParams(), interpret=True)
     np.testing.assert_array_equal(np.asarray(disp), np.asarray(ref))
+
+
+def test_sharded_hier_matches_unsharded():
+    """make_sharded_pipeline(matcher='sgbm_hier') runs each device's
+    128-lane pack under shard_map over the data axis; the result must
+    equal per-pack batched_stereo_pipeline exactly (frame-parallel: no
+    cross-device traffic, so sharding must be a pure layout change)."""
+    import jax
+    import jax.numpy as jnp
+    from stereo_vision_tpu.ops.rectify import (
+        stereo_rectify,
+        init_undistort_rectify_map,
+    )
+    from stereo_vision_tpu.parallel.mesh import create_mesh
+    from stereo_vision_tpu.parallel.streaming import (
+        batched_stereo_pipeline,
+        make_sharded_pipeline,
+    )
+    from stereo_vision_tpu.stereo.hier import HIER_FAST
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
+
+    K = jnp.array([[300.0, 0, 96.0], [0, 300.0, 24.0], [0, 0, 1.0]])
+    dist = jnp.zeros(8)
+    size = (192, 48)  # (W, H), W > D = 64
+    R1, R2, P1, P2, Q = stereo_rectify(
+        K, dist, K, dist, size, jnp.eye(3), jnp.array([-50.0, 0.0, 0.0]),
+        alpha=0.0,
+    )
+    maps = (
+        *init_undistort_rectify_map(K, dist, R1, P1, size),
+        *init_undistort_rectify_map(K, dist, R2, P2, size),
+    )
+    params = StereoSGBMParams(
+        num_disparities=64, block_size=5, uniqueness_ratio=10,
+        disp12_max_diff=1, speckle_window_size=20, speckle_range=2,
+        num_paths=4,
+    )
+    mesh = create_mesh(2, 1)
+    run = make_sharded_pipeline(
+        mesh, maps[:4], Q, matcher="sgbm_hier", params=params,
+        hier_params=HIER_FAST,
+    )
+    rng = np.random.default_rng(9)
+    B = 16  # 2 devices x 8-frame packs (HIER_FAST band 16)
+    l = rng.integers(0, 255, (B, 48, 192)).astype(np.int32)
+    r = rng.integers(0, 255, (B, 48, 192)).astype(np.int32)
+    disp, pts = run(jnp.asarray(l), jnp.asarray(r))
+
+    for i in range(0, B, 8):
+        ref, refp = batched_stereo_pipeline(
+            jnp.asarray(l[i : i + 8]), jnp.asarray(r[i : i + 8]),
+            maps[:4], Q, matcher="sgbm_hier", params=params,
+            hier_params=HIER_FAST,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(disp[i : i + 8]), np.asarray(ref), err_msg=f"pack {i}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pts[i : i + 8]), np.asarray(refp), err_msg=f"pack {i}"
+        )
