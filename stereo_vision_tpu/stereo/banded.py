@@ -118,8 +118,13 @@ def banded_cost_volume(
     params: StereoSGBMParams,
     band: int,
     G: int,
+    stride: int = 1,
 ) -> jnp.ndarray:
-    """(H, W, band) windowed BT cost at absolute disparities s(p) + k.
+    """(H, W, band) windowed BT cost at absolute disparities
+    s(p) + stride*k (stride > 1: disparity-subsampled search — used by
+    the coarse pass of hier mode to halve the lane count at full spatial
+    resolution; the prior's subpixel parabola interpolates between the
+    strided samples).
 
     The block_size x block_size window sums the per-pixel banded costs of
     the neighbors ALIGNED into p's band (separable: rows then columns,
@@ -128,7 +133,7 @@ def banded_cost_volume(
     """
     H, W = left.shape
     pix = compute_pixel_cost(left, right, params)  # (H, W, D)
-    k = jnp.arange(band)
+    k = jnp.arange(band) * stride
     pb = jnp.take_along_axis(
         pix, s[..., None] + k[None, None, :], axis=-1
     ).astype(jnp.int32)  # (H, W, B) per-pixel banded cost
@@ -288,11 +293,12 @@ def banded_stats_scan(
     band: int,
     G: int,
     min_x: int,
+    stride: int = 1,
 ):
     """Banded core (scan backend): cost + aggregation + WTA on columns
     x >= min_x. Returns (minS, best_k, sm, s0, sp, unique_ok) maps of
-    shape (H, W - min_x); absolute disparity = best_k + s[:, min_x:]."""
-    C = banded_cost_volume(left, right, s, params, band, G)[:, min_x:, :]
+    shape (H, W - min_x); absolute disparity = stride*best_k + s[:, min_x:]."""
+    C = banded_cost_volume(left, right, s, params, band, G, stride)[:, min_x:, :]
     sv = s[:, min_x:]
     S = aggregate_banded_scan(C, sv, G, params.P1, params.P2, params.num_paths)
     return wta_scan(S, band, params.uniqueness_ratio)

@@ -150,7 +150,7 @@ def _pack_mm(vals, P):
 
 
 def _pix_kernel(
-    P, K, D, G, ftz, H, W, Wp,
+    P, K, D, G, ftz, stride, H, W, Wp,
     lm1_ref, l0_ref, lp1_ref, rm1_ref, r0_ref, rp1_ref, s_ref,
     out_ref,
 ):
@@ -226,8 +226,9 @@ def _pix_kernel(
     k_lane = lane // P
     shift = 1
     while shift < K:
-        z = jnp.zeros((shift, 128), B.dtype)
-        shifted = jnp.concatenate([z, B[:-shift]], axis=0)
+        n = stride * shift  # lane k means disparity s + stride*k
+        z = jnp.zeros((n, 128), B.dtype)
+        shifted = jnp.concatenate([z, B[:-n]], axis=0)
         B = jnp.where((k_lane & shift) != 0, shifted, B)
         shift *= 2
     # Per-column s-select: {Em, M, Ep}[x, k] = St[x + D - s(x) + {-1,0,1}]
@@ -269,12 +270,12 @@ def _pix_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ndisp", "band", "granularity", "ftzero", "interpret"),
+    static_argnames=("ndisp", "band", "granularity", "ftzero", "stride", "interpret"),
 )
 def banded_pixel_cost_pack(
     left, right, s,
     ndisp: int, band: int, granularity: int, ftzero: int = 15,
-    interpret: bool = False,
+    stride: int = 1, interpret: bool = False,
 ) -> jnp.ndarray:
     """Packed banded per-pixel BT cost, straight from the RAW images.
 
@@ -311,7 +312,7 @@ def banded_pixel_cost_pack(
     out_spec = pl.BlockSpec(
         (1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = functools.partial(_pix_kernel, P, K, D, G, ftzero, H, W, Wp)
+    kern = functools.partial(_pix_kernel, P, K, D, G, ftzero, stride, H, W, Wp)
     return pl.pallas_call(
         kern,
         grid=(H,),
@@ -429,18 +430,22 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
 # ---------------------------------------------------------------------------
 
 
-def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
+def _vert_kernel(P, K, G, P1, P2, with_diag, mid_realign, *refs):
     """Grid step r: 8 down rows (8r..8r+7) + the mirrored 8 up rows.
 
     Tile-aligned batching: the shift map is constant on 8-row tiles
-    aligned to the block grid, so the VERTICAL carry needs re-alignment
-    only at block entry (row 8r vs 8r-1) — 7 of 8 updates are plain.
-    Diagonal carries cross COLUMN tiles every row and keep per-row
-    alignment (the 8-path premium).
+    aligned to the block grid (``mid_realign`` False), so the VERTICAL
+    carry needs re-alignment only at block entry (row 8r vs 8r-1) — 7
+    of 8 updates are plain. With 4-row tiles (hier tile*f == 4, e.g.
+    HIER_FAST) ``mid_realign`` adds ONE more aligned update at the
+    mid-block boundary (row 8r+4 vs 8r+3). Diagonal carries cross
+    COLUMN tiles every row and keep per-row alignment (the 8-path
+    premium).
 
     L scratch: (6, W, 128) — [0] dn-vert [1] dn-diag+1 [2] dn-diag-1,
     [3..5] the up set. de_ref: (1, 2P, W) block-entry vertical deltas
-    [dn, up]; ddn_ref/dup_ref: (8, 2P, W) per-row diagonal deltas
+    [dn, up] (or (1, 4P, W) [dn-entry, dn-mid, up-entry, up-mid] when
+    mid_realign); ddn_ref/dup_ref: (8, 2P, W) per-row diagonal deltas
     [towards +x, towards -x] (up arrays pre-flipped; present only when
     with_diag — their lane-padded blocks cost ~19 MB VMEM otherwise).
     """
@@ -452,12 +457,18 @@ def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
     r = pl.program_id(0)
     W = s_dn_ref.shape[1]
     first_blk = r == 0
+    n_slots = 2 if mid_realign else 1
 
     for up in (False, True):
         c_blk = (c_up_ref if up else c_dn_ref)
         base = 3 if up else 0
         out_ref = s_up_ref if up else s_dn_ref
-        dv = _pack_mm(de_ref[0, (1 if up else 0) * P : (2 if up else 1) * P, :], P)
+        slot = (1 if up else 0) * n_slots
+        dv = _pack_mm(de_ref[0, slot * P : (slot + 1) * P, :], P)
+        dv_mid = (
+            _pack_mm(de_ref[0, (slot + 1) * P : (slot + 2) * P, :], P)
+            if mid_realign else None
+        )
         d_diag = dup_ref if up else ddn_ref
 
         for j in range(8):
@@ -471,10 +482,14 @@ def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
                         L_ref[base + k] = c
                     out_ref[row] = (c * (3 if with_diag else 1)).astype(out_ref.dtype)
 
-            def _step(c=c, dv=dv, base=base, out_ref=out_ref, row=row, j=j, d_diag=d_diag, up=up):
+            def _step(c=c, dv=dv, dv_mid=dv_mid, base=base, out_ref=out_ref, row=row, j=j, d_diag=d_diag, up=up):
                 if j == 0:
                     Lv = _update_packed(
                         c, _align_packed(L_ref[base], dv, P, K, G), P, K, P1, P2
+                    )
+                elif mid_realign and j == 4:
+                    Lv = _update_packed(
+                        c, _align_packed(L_ref[base], dv_mid, P, K, G), P, K, P1, P2
                     )
                 else:
                     Lv = _update_packed(c, L_ref[base], P, K, P1, P2, may_miss=False)
@@ -508,18 +523,20 @@ def _vert_kernel(P, K, G, P1, P2, with_diag, *refs):
 _BW = 8
 
 
-def _horiz_kernel(P, K, G, P1, P2, reverse, c_ref, dh_ref, s_ref, L_ref):
+def _horiz_kernel(P, K, G, P1, P2, reverse, mid_realign, c_ref, dh_ref, s_ref, L_ref):
     """One horizontal direction over column blocks of _BW (cf.
     sgm_pallas._horizontal_kernel).
 
     Tile-aligned batching: shift-map column tiles are _BW-wide and
     aligned to the block grid, so the carry re-aligns only at BLOCK
-    entry (dh_ref: (1, H, P) entry delta per block); the remaining 7
+    entry (dh_ref: (1, P, H) entry delta per block — (1, 2P, H)
+    [entry, mid] with ``mid_realign`` for 4-px tiles); the remaining
     column updates are plain.
     """
     b0 = pl.program_id(0)
     first_blk = b0 == 0
-    dh = _pack_mm(dh_ref[0], P)
+    dh = _pack_mm(dh_ref[0, :P], P)
+    dh_mid = _pack_mm(dh_ref[0, P : 2 * P], P) if mid_realign else None
 
     for j in range(_BW):
         col = _BW - 1 - j if reverse else j
@@ -535,6 +552,10 @@ def _horiz_kernel(P, K, G, P1, P2, reverse, c_ref, dh_ref, s_ref, L_ref):
             if j == 0:
                 L2 = _update_packed(
                     c, _align_packed(L_ref[:], dh, P, K, G), P, K, P1, P2
+                )
+            elif mid_realign and j == 4:
+                L2 = _update_packed(
+                    c, _align_packed(L_ref[:], dh_mid, P, K, G), P, K, P1, P2
                 )
             else:
                 L2 = _update_packed(c, L_ref[:], P, K, P1, P2, may_miss=False)
@@ -611,7 +632,10 @@ def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("band", "granularity", "P1", "P2", "uniq", "num_paths", "interpret"),
+    static_argnames=(
+        "band", "granularity", "P1", "P2", "uniq", "num_paths", "tile_px",
+        "interpret",
+    ),
 )
 def banded_reduce_pack(
     C: jnp.ndarray,
@@ -622,6 +646,7 @@ def banded_reduce_pack(
     P2: int,
     uniq: int,
     num_paths: int = 8,
+    tile_px: int = 8,
     interpret: bool = False,
 ):
     """Packed banded aggregation + WTA.
@@ -629,6 +654,10 @@ def banded_reduce_pack(
     Args:
       C: (H, W, 128) packed banded windowed cost (int16/int32).
       s: (P, H, W) int32 shift maps (the same region as C's columns).
+      tile_px: the shift map's square tile side, aligned to this
+        region's origin. 8 (or any multiple of 8): carries re-align at
+        block boundaries only. 4: one extra mid-block realignment per
+        direction (hier tile*coarse_factor == 4, e.g. HIER_FAST).
 
     Returns six (P, H, W) float32 stat maps:
       (minS, best_k, sm, s0, sp, unique_ok).
@@ -637,6 +666,8 @@ def banded_reduce_pack(
     P = s.shape[0]
     K = band
     assert P * K == 128
+    assert tile_px == 4 or tile_px % 8 == 0, f"unsupported tile_px {tile_px}"
+    mid_realign = tile_px == 4
     G = granularity
     with_diag = num_paths >= 8
 
@@ -665,7 +696,17 @@ def banded_reduce_pack(
         z = jnp.zeros_like(sp[:, :1])
         return hpw(jnp.concatenate([z, d], axis=1))
 
-    de = jnp.concatenate([entry_deltas(s), entry_deltas(sf)], axis=1)
+    def mid_deltas(sp):  # (nR, P, W): s(8r+4) - s(8r+3)
+        return hpw(sp[:, 4::8] - sp[:, 3::8])
+
+    if mid_realign:
+        de = jnp.concatenate(
+            [entry_deltas(s), mid_deltas(s), entry_deltas(sf), mid_deltas(sf)],
+            axis=1,
+        )
+    else:
+        de = jnp.concatenate([entry_deltas(s), entry_deltas(sf)], axis=1)
+    de_slots = 4 if mid_realign else 2
 
     def diag_deltas(sp):  # per-row diagonal deltas (Hp, 2P, W)
         z = jnp.zeros_like(sp[:, :1])
@@ -678,7 +719,7 @@ def banded_reduce_pack(
 
     specC_dn = pl.BlockSpec((8, W, 128), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
     specC_up = pl.BlockSpec((8, W, 128), lambda r: (nR - 1 - r, 0, 0), memory_space=pltpu.VMEM)
-    specDE = pl.BlockSpec((1, 2 * P, W), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    specDE = pl.BlockSpec((1, de_slots * P, W), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
     specDG = pl.BlockSpec((8, 2 * P, W), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
 
     args = (cf, cf, de)
@@ -688,7 +729,9 @@ def banded_reduce_pack(
         in_specs += [specDG, specDG]
 
     vert = pl.pallas_call(
-        functools.partial(_vert_kernel, P, K, G, float(P1), float(P2), with_diag),
+        functools.partial(
+            _vert_kernel, P, K, G, float(P1), float(P2), with_diag, mid_realign
+        ),
         grid=(nR,),
         in_specs=in_specs,
         out_specs=[specC_dn, specC_up],
@@ -709,6 +752,13 @@ def banded_reduce_pack(
             jnp.concatenate([z, d], axis=2), (2, 0, 1)
         ).astype(jnp.int32)
 
+    def col_mid(sp, reverse):  # (nB, P, Hp): mid-block column delta
+        # L->R enters column 8b+4 from 8b+3; R->L enters 8b+3 from 8b+4.
+        d = sp[:, :, 4::8] - sp[:, :, 3::8]
+        if reverse:
+            d = -d
+        return jnp.transpose(d, (2, 0, 1)).astype(jnp.int32)
+
     dh_lr = col_entry(s)
     # R->L: block nB-1-b entered at its rightmost column 8B+7 with
     # predecessor 8B+8 (zero at the rightmost block).
@@ -717,6 +767,10 @@ def banded_reduce_pack(
         jnp.concatenate([d_rl, jnp.zeros_like(s[:, :, :1])], axis=2),
         (2, 0, 1),
     ).astype(jnp.int32)
+    if mid_realign:
+        dh_lr = jnp.concatenate([dh_lr, col_mid(s, False)], axis=1)
+        dh_rl = jnp.concatenate([dh_rl, col_mid(s, True)], axis=1)
+    dh_rows = (2 if mid_realign else 1) * P
 
     def horiz(reverse):
         if reverse:
@@ -726,11 +780,13 @@ def banded_reduce_pack(
             imapC = lambda b: (0, b, 0)
             imapD = lambda b: (b, 0, 0)
         return pl.pallas_call(
-            functools.partial(_horiz_kernel, P, K, G, float(P1), float(P2), reverse),
+            functools.partial(
+                _horiz_kernel, P, K, G, float(P1), float(P2), reverse, mid_realign
+            ),
             grid=(nB,),
             in_specs=[
                 pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, P, Hp), imapD, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dh_rows, Hp), imapD, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Hp, W, 128), jnp.float32),
@@ -808,6 +864,8 @@ def banded_stats_pack(
     band: int,
     granularity: int,
     min_x: int,
+    stride: int = 1,
+    tile_px: int = 8,
     interpret: bool = False,
 ):
     """Packed banded core: P frames end-to-end through the Pallas
@@ -827,7 +885,7 @@ def banded_stats_pack(
     pix = banded_pixel_cost_pack(
         left.astype(jnp.int32), right.astype(jnp.int32), s_ext,
         ndisp=D, band=band, granularity=granularity,
-        ftzero=params.ftzero, interpret=interpret,
+        ftzero=params.ftzero, stride=stride, interpret=interpret,
     )
     # int16: windowed cost < 15k; halves the volume's HBM traffic and the
     # scan kernels' block DMAs (f32 blocks OOM'd scoped VMEM at 720p).
@@ -840,7 +898,7 @@ def banded_stats_pack(
     minS, best, sm, s0, sp, uok = banded_reduce_pack(
         Cv, sv, band, granularity, params.P1, params.P2,
         params.uniqueness_ratio, num_paths=params.num_paths,
-        interpret=interpret,
+        tile_px=tile_px, interpret=interpret,
     )
     c = lambda a: a.astype(jnp.int32)
     return c(minS), c(best), c(sm), c(s0), c(sp), uok > 0.5

@@ -74,6 +74,21 @@ class HierParams(NamedTuple):
     coarse_uniqueness: int = 10
     coarse_lr: int = 1
     anchor_hi: bool = True
+    # Optional X-only coarse downsample factor (None = coarse_factor).
+    # fx = 2*fy halves the coarse disparity count Dc = D/fx — at band 16
+    # that fits all 8 frames in ONE coarse pack (Dc=16) instead of two.
+    # MEASURED REJECTED for HIER_FAST (2026-08-18, CPU scenes): the
+    # x-coarsened prior drops ramp/occlusion agreement to 0.976/0.978
+    # (< the 0.98/0.983 pins), and larger margins make it WORSE (the
+    # widened local range exceeds the 16-lane band, forcing anchor_hi
+    # truncation). fy=8/fx=4 fails the same way. Kept as an option.
+    coarse_fx: int | None = None
+    # Coarse disparity-search stride: lane k means coarse disparity
+    # stride*k, searched at FULL coarse spatial resolution (the prior's
+    # subpixel parabola interpolates between samples). stride=2 halves
+    # the coarse lane count (one 8-frame pack at D=128/f=4 instead of
+    # two) without the spatial-coarsening quality loss above.
+    coarse_stride: int = 1
     # Cap on the speckle filter's propagation radius (its cost is
     # proportional to this; see postprocess.speckle_filter max_diameter).
     # None = exact cv2 semantics (radius = maxSpeckleSize - 1).
@@ -107,7 +122,7 @@ def _pool_mat(n: int, nc: int, f: int) -> jnp.ndarray:
     return (r // f == c).astype(jnp.float32)
 
 
-def _downsample_box(img: jnp.ndarray, f: int) -> jnp.ndarray:
+def _downsample_box(img: jnp.ndarray, f: int, fx: int | None = None) -> jnp.ndarray:
     """f x f box-mean downsample, rounded back to integer levels.
 
     Runs as two 0/1 pooling MATMULS (one per axis) instead of the
@@ -117,35 +132,38 @@ def _downsample_box(img: jnp.ndarray, f: int) -> jnp.ndarray:
     images <= 255: the first contraction's bf16 operands are exact
     integers with f32 accumulation; the second sees sums <= 255*f (past
     bf16's 8-bit mantissa) and contracts in HIGHEST precision.
-    Accepts leading batch axes.
+    Accepts leading batch axes and an optional distinct x factor ``fx``.
     """
+    fy, fx = f, f if fx is None else fx
     H, W = img.shape[-2:]
-    Hc, Wc = H // f, W // f
-    x = img[..., : Hc * f, : Wc * f].astype(jnp.float32)
+    Hc, Wc = H // fy, W // fx
+    x = img[..., : Hc * fy, : Wc * fx].astype(jnp.float32)
     nd = x.ndim
     t = jax.lax.dot_general(
-        x, _pool_mat(Hc * f, Hc, f), (((nd - 2,), (0,)), ((), ()))
+        x, _pool_mat(Hc * fy, Hc, fy), (((nd - 2,), (0,)), ((), ()))
     )  # (..., W, Hc)
     u = jax.lax.dot_general(
-        t, _pool_mat(Wc * f, Wc, f), (((nd - 2,), (0,)), ((), ())),
+        t, _pool_mat(Wc * fx, Wc, fx), (((nd - 2,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     )  # (..., Hc, Wc)
-    return jnp.round(u / (f * f)).astype(jnp.int32)
+    return jnp.round(u / (fy * fx)).astype(jnp.int32)
 
 
-def _upsample_repeat(s: jnp.ndarray, f: int) -> jnp.ndarray:
-    """jnp.repeat(jnp.repeat(s, f, -2), f, -1) as two 0/1 expansion
+def _upsample_repeat(s: jnp.ndarray, f: int, fx: int | None = None) -> jnp.ndarray:
+    """jnp.repeat(jnp.repeat(s, f, -2), fx, -1) as two 0/1 expansion
     matmuls (repeat is a lane relayout; measured 0.26 -> 0.21 ms per
     720p map, benchmarks/resample_ab.py). Exact for int values <= 255
-    (one exact bf16 product per output). Accepts leading batch axes."""
+    (one exact bf16 product per output). Accepts leading batch axes and
+    an optional distinct x factor."""
+    fy, fx = f, f if fx is None else fx
     Hc, Wc = s.shape[-2:]
     nd = s.ndim
     t = jax.lax.dot_general(
-        s.astype(jnp.float32), _pool_mat(Hc * f, Hc, f).T,
+        s.astype(jnp.float32), _pool_mat(Hc * fy, Hc, fy).T,
         (((nd - 2,), (0,)), ((), ())),
     )  # (..., Wc, H)
     u = jax.lax.dot_general(
-        t, _pool_mat(Wc * f, Wc, f).T, (((nd - 2,), (0,)), ((), ())),
+        t, _pool_mat(Wc * fx, Wc, fx).T, (((nd - 2,), (0,)), ((), ())),
     )  # (..., H, W)
     return u.astype(s.dtype)
 
@@ -227,7 +245,9 @@ def shift_map(
     D, B, G, f, t = (
         num_disparities, hp.band, hp.granularity, hp.coarse_factor, hp.tile,
     )
-    prior = _fill_invalid(coarse_disp, coarse_invalid_below) * f  # full-scale disparity
+    fx = hp.coarse_fx or f
+    # Disparity lives on the x axis: the coarse value scales by fx.
+    prior = _fill_invalid(coarse_disp, coarse_invalid_below) * fx
     lo = _pool(prior, hp.local_window, jnp.minimum) - hp.margin
     hi = _pool(prior, hp.local_window, jnp.maximum) + hp.margin
 
@@ -264,7 +284,7 @@ def shift_map(
     s = jnp.clip(s, 0.0, float(D - B)).astype(jnp.int32)
 
     # Upsample tiles to pixels (MXU expansion; see _upsample_repeat).
-    return _upsample_repeat(s, f * t)
+    return _upsample_repeat(s, f * t, fx * t)
 
 
 def _assemble_disparity(
@@ -276,21 +296,25 @@ def _assemble_disparity(
     band: int,
     params: StereoSGBMParams,
     backend: str,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """Banded stats -> full-width float disparity map (pre-speckle).
 
     stats: (minS, best_k, sm, s0, sp, unique_ok) on columns x >= min_x;
     s_v: shift map on the same columns (None => zero, e.g. coarse pass).
     The LR consistency check runs over the FULL ``ndisp_full`` range on
-    absolute values.
+    absolute values. ``stride`` > 1 (strided coarse search): lane k is
+    disparity stride*k; the subpixel parabola interpolates in k units
+    and is scaled back to disparity units.
     """
     minS, k, sm, s0, sp, unique_ok = stats
     H = minS.shape[0]
     sub16 = subpixel_disp16(k, sm, s0, sp, band)
     if s_v is None:
-        best_abs = k
-        disp = sub16.astype(jnp.float32) / 16.0
+        best_abs = stride * k
+        disp = stride * sub16.astype(jnp.float32) / 16.0
     else:
+        assert stride == 1, "strided search is coarse-only (s == 0)"
         best_abs = k + s_v
         disp = (sub16 + 16 * s_v).astype(jnp.float32) / 16.0
 
@@ -318,7 +342,7 @@ def _assemble_disparity(
 _PACK_ASSEMBLE = False
 
 
-def _assemble_disparity_pack(stats, s_v, W, min_x, ndisp_full, band, params, backend):
+def _assemble_disparity_pack(stats, s_v, W, min_x, ndisp_full, band, params, backend, stride=1):
     """Assemble the packed stats into (P, H, W) disparities.
 
     Row-stacked form (``_PACK_ASSEMBLE``): every op in
@@ -336,19 +360,19 @@ def _assemble_disparity_pack(stats, s_v, W, min_x, ndisp_full, band, params, bac
             _assemble_disparity(
                 [st[b] for st in stats],
                 None if s_v is None else s_v[b],
-                W, min_x, ndisp_full, band, params, backend,
+                W, min_x, ndisp_full, band, params, backend, stride,
             )
             for b in range(P)
         ])
     flat = [st.reshape(P * H, st.shape[-1]) for st in stats]
     sv = None if s_v is None else s_v.reshape(P * H, s_v.shape[-1])
-    out = _assemble_disparity(flat, sv, W, min_x, ndisp_full, band, params, backend)
+    out = _assemble_disparity(flat, sv, W, min_x, ndisp_full, band, params, backend, stride)
     return out.reshape(P, H, W)
 
 
-def _coarse_params(params: StereoSGBMParams, D: int, f: int, hp: HierParams) -> StereoSGBMParams:
+def _coarse_params(params: StereoSGBMParams, D: int, fx: int, hp: HierParams) -> StereoSGBMParams:
     return params._replace(
-        num_disparities=D // f,
+        num_disparities=D // fx,
         uniqueness_ratio=hp.coarse_uniqueness,
         disp12_max_diff=hp.coarse_lr,
         speckle_window_size=0,
@@ -376,16 +400,31 @@ def stereo_sgbm_hier(
     assert params.min_disparity == 0, "hier mode assumes min_disparity == 0"
     D = params.num_disparities
     B, G, f = hp.band, hp.granularity, hp.coarse_factor
-    assert D % (f * 16) == 0 and B % 16 == 0 and (D - B) % G == 0
+    fx = hp.coarse_fx or f
+    assert D % (fx * 16) == 0 and B % 16 == 0 and (D - B) % G == 0
     H, W = left.shape
 
     # 1. Coarse prior.
-    from stereo_vision_tpu.stereo.sgbm import stereo_sgbm
+    cp = _coarse_params(params, D, fx, hp)
+    lc, rc = _downsample_box(left, f, fx), _downsample_box(right, f, fx)
+    if hp.coarse_stride == 1:
+        from stereo_vision_tpu.stereo.sgbm import stereo_sgbm
 
-    disp_c = stereo_sgbm(
-        _downsample_box(left, f), _downsample_box(right, f),
-        _coarse_params(params, D, f, hp),
-    )
+        disp_c = stereo_sgbm(lc, rc, cp)
+    else:
+        # Strided coarse search via the banded scan core (s = 0).
+        from stereo_vision_tpu.stereo.banded import banded_stats_scan
+
+        Dc = D // fx
+        Kc = Dc // hp.coarse_stride
+        s0c = jnp.zeros(lc.shape, jnp.int32)
+        stats_c = banded_stats_scan(
+            lc, rc, s0c, cp, Kc, G, min_x=Dc, stride=hp.coarse_stride
+        )
+        disp_c = _assemble_disparity(
+            stats_c, None, lc.shape[1], Dc, Dc, Kc, cp, "scan",
+            stride=hp.coarse_stride,
+        )
 
     # 2. Shift map.
     s = shift_map(disp_c, D, hp)
@@ -436,30 +475,33 @@ def stereo_sgbm_hier_batch(
     assert params.min_disparity == 0
     D = params.num_disparities
     B, G, f = hp.band, hp.granularity, hp.coarse_factor
+    fx = hp.coarse_fx or f
     P, H, W = left.shape
     assert P * B == 128, f"pack count {P} x band {B} must fill 128 lanes"
-    Dc = D // f
-    assert 128 % Dc == 0, "coarse range must divide the 128 lanes"
-    pack_c = 128 // Dc  # frames per COARSE pack (may differ from P:
+    Dc = D // fx
+    Kc = Dc // hp.coarse_stride  # coarse LANES (disparity = stride * k)
+    assert Dc % hp.coarse_stride == 0 and 128 % Kc == 0
+    pack_c = 128 // Kc  # frames per COARSE pack (may differ from P:
     #                     band 16 packs 8 frames full-res but Dc=32
-    #                     coarse lanes fit only 4 — run 2 coarse calls)
+    #                     coarse lanes fit only 4 — run 2 coarse calls,
+    #                     or ONE with coarse_stride=2: Kc=16)
     assert P % pack_c == 0, f"pack {P} not a multiple of coarse pack {pack_c}"
 
     from stereo_vision_tpu.stereo.banded_pallas import banded_stats_pack
 
-    # 1. Coarse prior via the SAME packed kernels (band = Dc, s = 0).
-    cp = _coarse_params(params, D, f, hp)
-    lc = _downsample_box(left, f)
-    rc = _downsample_box(right, f)
+    # 1. Coarse prior via the SAME packed kernels (band = Kc, s = 0).
+    cp = _coarse_params(params, D, fx, hp)
+    lc = _downsample_box(left, f, fx)
+    rc = _downsample_box(right, f, fx)
     Hc, Wc = lc.shape[1:]
     s0 = jnp.zeros((pack_c, Hc, Wc), jnp.int32)
     disp_c = jnp.concatenate([
         _assemble_disparity_pack(
             list(banded_stats_pack(
-                lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Dc, G,
-                min_x=Dc, interpret=interpret,
+                lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Kc, G,
+                min_x=Dc, stride=hp.coarse_stride, interpret=interpret,
             )),
-            None, Wc, Dc, Dc, Dc, cp, "scan",
+            None, Wc, Dc, Dc, Kc, cp, "scan", stride=hp.coarse_stride,
         )
         for i in range(0, P, pack_c)
     ])
@@ -471,8 +513,17 @@ def stereo_sgbm_hier_batch(
             s, ((0, 0), (0, H - s.shape[1]), (0, W - s.shape[2])), mode="edge"
         )
 
-    # 3. Banded packed core on the full-range valid region.
-    stats = banded_stats_pack(left, right, s, params, B, G, min_x=D, interpret=interpret)
+    # 3. Banded packed core on the full-range valid region. The shift
+    # map is piecewise-constant on (f*tile)^2 pixel tiles; the reduce
+    # kernels need the tile side to place their carry re-alignments
+    # (4 adds a mid-block realignment; multiples of 8 are entry-only).
+    tile_px = f * hp.tile if f * hp.tile == 4 else 8
+    assert (f * hp.tile) % 8 == 0 or f * hp.tile == 4, \
+        f"unsupported shift tile {f * hp.tile}px (need 4 or a multiple of 8)"
+    stats = banded_stats_pack(
+        left, right, s, params, B, G, min_x=D, tile_px=tile_px,
+        interpret=interpret,
+    )
 
     backend = params.backend
     if backend == "auto":

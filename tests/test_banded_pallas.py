@@ -197,3 +197,89 @@ class TestHierBatch:
                 stereo_sgbm_hier(left[b], right[b], params, HIER_FAST)
             )
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
+
+
+class TestTile4Realign:
+    """The reduce kernels re-align carries at shift-map tile boundaries.
+    With 4-px tiles (HIER_FAST: tile=1, f=4) that boundary falls MID
+    8-row/8-col block — regression for the r3 bug where those updates
+    ran unaligned (surfaced as batch != single on a coarse prior with a
+    0->80 vertical jump at row 16; tests had only used 8-px tiles)."""
+
+    def test_stats_exact_vs_scan_tile4(self):
+        P4, K4, G4 = 8, 16, 8
+        Hh, Wh = 32, 192
+        left, right = _rand_scene(P4, Hh, Wh, 128, seed=12)
+        s = _rand_shift_map(P4, Hh, Wh, 128, K4, G4, seed=13, tile=4)
+        params = PARAMS._replace(num_disparities=128, num_paths=4)
+        outs = banded_stats_pack(
+            left, right, s, params, K4, G4, min_x=128, tile_px=4,
+            interpret=True,
+        )
+        for b in range(P4):
+            ref = banded_stats_scan(left[b], right[b], s[b], params, K4, G4, 128)
+            for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[i][b]).astype(np.float64),
+                    np.asarray(ref[i]).astype(np.float64),
+                    err_msg=f"frame {b} stat {name}",
+                )
+
+    def test_stats_exact_vs_scan_tile4_8path(self):
+        P4, K4, G4 = 8, 16, 8
+        Hh, Wh = 24, 192
+        left, right = _rand_scene(P4, Hh, Wh, 128, seed=14)
+        s = _rand_shift_map(P4, Hh, Wh, 128, K4, G4, seed=15, tile=4)
+        params = PARAMS._replace(num_disparities=128, num_paths=8)
+        outs = banded_stats_pack(
+            left, right, s, params, K4, G4, min_x=128, tile_px=4,
+            interpret=True,
+        )
+        for b in range(P4):
+            ref = banded_stats_scan(left[b], right[b], s[b], params, K4, G4, 128)
+            for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[i][b]).astype(np.float64),
+                    np.asarray(ref[i]).astype(np.float64),
+                    err_msg=f"frame {b} stat {name}",
+                )
+
+
+class TestStridedSearch:
+    """Disparity-stride search (hier coarse_stride): lane k means
+    disparity stride*k. Pallas pack must equal the scan reference."""
+
+    def test_strided_stats_exact_vs_scan(self):
+        P8, K8, G8, stride = 8, 16, 8, 2
+        Hh, Wh = 24, 128
+        left, right = _rand_scene(P8, Hh, Wh, 32, seed=16)
+        s = jnp.zeros((P8, Hh, Wh), jnp.int32)  # coarse-style: s = 0
+        params = PARAMS._replace(num_disparities=32, num_paths=4)
+        outs = banded_stats_pack(
+            left, right, s, params, K8, G8, min_x=32, stride=stride,
+            interpret=True,
+        )
+        for b in range(P8):
+            ref = banded_stats_scan(
+                left[b], right[b], s[b], params, K8, G8, 32, stride=stride
+            )
+            for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[i][b]).astype(np.float64),
+                    np.asarray(ref[i]).astype(np.float64),
+                    err_msg=f"frame {b} stat {name}",
+                )
+
+    def test_strided_cost_matches_subsampled_full(self):
+        """banded_cost_volume(stride=2, s=0) == full cost at even
+        disparities (the scan oracle underlying the test above)."""
+        from stereo_vision_tpu.stereo.sgbm import compute_cost_volume
+
+        left, right = _rand_scene(1, 24, 96, 32, seed=17)
+        params = PARAMS._replace(num_disparities=32)
+        s = jnp.zeros((24, 96), jnp.int32)
+        got = np.asarray(
+            banded_cost_volume(left[0], right[0], s, params, 16, 8, stride=2)
+        )
+        full = np.asarray(compute_cost_volume(left[0], right[0], params))
+        np.testing.assert_array_equal(got, full[:, :, ::2])
