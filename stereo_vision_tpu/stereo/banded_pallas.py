@@ -573,6 +573,12 @@ def _horiz_kernel(P, K, G, P1, P2, reverse, mid_realign, c_ref, dh_ref, s_ref, L
 # ---------------------------------------------------------------------------
 
 
+# A/B toggle (default OFF — measured slower; see the vol_dtype note in
+# banded_reduce_pack): store the direction volumes int16 when the cost
+# bound fits. Exactness pinned by TestVolInt16 in tests/test_banded_pallas.py.
+_VOL_INT16 = False
+
+
 def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
     """Stats from the in-kernel sum of the four direction volumes.
 
@@ -634,7 +640,7 @@ def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
     jax.jit,
     static_argnames=(
         "band", "granularity", "P1", "P2", "uniq", "num_paths", "tile_px",
-        "interpret",
+        "cost_bound", "interpret",
     ),
 )
 def banded_reduce_pack(
@@ -647,6 +653,7 @@ def banded_reduce_pack(
     uniq: int,
     num_paths: int = 8,
     tile_px: int = 8,
+    cost_bound: int = 93 * 121,
     interpret: bool = False,
 ):
     """Packed banded aggregation + WTA.
@@ -674,6 +681,23 @@ def banded_reduce_pack(
     W = ((W0 + _BW - 1) // _BW) * _BW
     Hp = ((H + 7) // 8) * 8
     cf = C if C.dtype == jnp.int16 else C.astype(jnp.float32)
+
+    # Direction-volume dtype: every stored L is bounded by
+    # window_cost_max + max(P1, P2) (the (min,+) update never exceeds
+    # minL + P2 above the new cost; pixel BT cost <= 2*ftzero + 63 <= 93),
+    # times 3 for the summed diag set. When that bound fits int16, the
+    # volumes CAN be stored int16 — the f32->int16 pack sits in the
+    # STORE, outside the carry-chain dataflow — halving ~1.9 GB/pack of
+    # HBM volume traffic (write + WTA read). MEASURED REJECTED on the
+    # chip (2026-08-18, full bench A/B): hier16 173.8 -> 163.6 Mpx/s,
+    # hier4 ~75 -> 67.9. Dataflow-independence is not issue-independence:
+    # the pack op still occupies the VPU issue pipe inside the per-
+    # column/per-row sequential loops, and these kernels are issue-bound
+    # (r2 rule), while the WTA read they would cheapen is only partially
+    # bandwidth-bound post-banding. Exactness-tested capability kept
+    # behind _VOL_INT16 for a future toolchain with cheaper packs.
+    vol_bound = (3 if with_diag else 1) * (cost_bound + max(P1, P2))
+    vol_dtype = jnp.int16 if (_VOL_INT16 and vol_bound < 32767) else jnp.float32
     if W != W0 or Hp != H:
         # Zero-cost pad rows/cols with edge-extended s: zero cost + zero
         # delta carries the border rule through the pad (sgm_pallas
@@ -735,7 +759,7 @@ def banded_reduce_pack(
         grid=(nR,),
         in_specs=in_specs,
         out_specs=[specC_dn, specC_up],
-        out_shape=[jax.ShapeDtypeStruct((Hp, W, 128), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W, 128), vol_dtype)] * 2,
         scratch_shapes=[pltpu.VMEM((6, W, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -789,7 +813,7 @@ def banded_reduce_pack(
                 pl.BlockSpec((1, dh_rows, Hp), imapD, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Hp, W, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Hp, W, 128), vol_dtype),
             scratch_shapes=[pltpu.VMEM((Hp, 128), jnp.float32)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
             interpret=interpret,
@@ -898,7 +922,8 @@ def banded_stats_pack(
     minS, best, sm, s0, sp, uok = banded_reduce_pack(
         Cv, sv, band, granularity, params.P1, params.P2,
         params.uniqueness_ratio, num_paths=params.num_paths,
-        tile_px=tile_px, interpret=interpret,
+        tile_px=tile_px, cost_bound=93 * params.block_size ** 2,
+        interpret=interpret,
     )
     c = lambda a: a.astype(jnp.int32)
     return c(minS), c(best), c(sm), c(s0), c(sp), uok > 0.5

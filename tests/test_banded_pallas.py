@@ -283,3 +283,23 @@ class TestStridedSearch:
         )
         full = np.asarray(compute_cost_volume(left[0], right[0], params))
         np.testing.assert_array_equal(got, full[:, :, ::2])
+
+
+class TestVolInt16:
+    def test_vol_int16_store_exact(self, monkeypatch):
+        """_VOL_INT16 gated variant (measured slower on-chip, kept as a
+        tested capability): int16 direction-volume stores must leave the
+        stats bit-identical to the default f32 volumes."""
+        from stereo_vision_tpu.stereo import banded_pallas
+
+        left, right = _rand_scene(P, H, W, D, seed=18)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=19)
+        base = banded_stats_pack(left, right, s, PARAMS, K, G, min_x=D, interpret=True)
+        monkeypatch.setattr(banded_pallas, "_VOL_INT16", True)
+        banded_pallas.banded_reduce_pack.clear_cache()
+        got = banded_stats_pack(left, right, s, PARAMS, K, G, min_x=D, interpret=True)
+        banded_pallas.banded_reduce_pack.clear_cache()
+        for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), np.asarray(base[i]), err_msg=name
+            )
