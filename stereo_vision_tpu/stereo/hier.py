@@ -104,6 +104,15 @@ class HierParams(NamedTuple):
 # all four adversarial scenes >= 0.983 vs cv2 full-D, tests/test_hier.py).
 HIER_FAST = HierParams(
     band=16, granularity=8, margin=4.0, tile=1, local_window=1,
+    # Coarse LR OFF (2026-08-18 A/B, chip + CPU adversarial scenes):
+    # ~+3 Mpx/s on the headline AND net-better agreement (bench scene
+    # 0.9948 -> 0.9954, occlusion 0.9883 -> 0.9899, bigjump 0.9834 ->
+    # 0.9846, ramp -0.0006; bigjump EPE 0.229 -> 0.261, bar <= 1 px).
+    # The coarse LR invalidates half-occluded pixels which fill_invalid
+    # then fills from the BACKGROUND side, fighting anchor_hi's
+    # foreground band placement; the un-checked coarse match lands on
+    # the foreground, which is what the band wants covered anyway.
+    coarse_lr=-1,
     # speckle_diameter 8: the filter's 5R elementwise rounds fall 99->8
     # per phase ratio (2.44 -> ~0.3 ms/frame; it was the largest
     # post-core cost). Agreement moved 0.9947 -> 0.9946 on the bench
@@ -341,6 +350,18 @@ def _assemble_disparity(
 # dispatches.
 _PACK_ASSEMBLE = False
 
+# LR backend for the COARSE assemble in stereo_sgbm_hier_batch ("auto"
+# resolves to the fused Pallas kernel on TPU). A/B on the chip
+# (benchmarks/hier_ab_r3d.py + _r3d2.py, 2026-08-18): the coarse scan-LR
+# chains run 34 unfused XLA passes per sub-pack over tiny (180, 320)
+# maps where fixed pass overhead dominates — the Pallas kernel measured
+# +3.4 Mpx/s on the hier16 headline at bit-identical output
+# (tests/test_lr_pallas.py pins kernel-vs-chains equality). At the
+# FULL-RES assemble the same swap is a WASH (scan chains fuse well at
+# 720p map sizes; both directions within the ±3 run noise), so full-res
+# keeps the scan chains.
+_COARSE_LR_BACKEND = "auto"
+
 
 def _assemble_disparity_pack(stats, s_v, W, min_x, ndisp_full, band, params, backend, stride=1):
     """Assemble the packed stats into (P, H, W) disparities.
@@ -489,6 +510,11 @@ def stereo_sgbm_hier_batch(
 
     from stereo_vision_tpu.stereo.banded_pallas import banded_stats_pack
 
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    clr_backend = _COARSE_LR_BACKEND
+    if clr_backend == "auto":
+        clr_backend = "pallas" if on_tpu and not interpret else "scan"
+
     # 1. Coarse prior via the SAME packed kernels (band = Kc, s = 0).
     cp = _coarse_params(params, D, fx, hp)
     lc = _downsample_box(left, f, fx)
@@ -501,7 +527,8 @@ def stereo_sgbm_hier_batch(
                 lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Kc, G,
                 min_x=Dc, stride=hp.coarse_stride, interpret=interpret,
             )),
-            None, Wc, Dc, Dc, Kc, cp, "scan", stride=hp.coarse_stride,
+            None, Wc, Dc, Dc, Kc, cp, clr_backend,
+            stride=hp.coarse_stride,
         )
         for i in range(0, P, pack_c)
     ])
@@ -527,10 +554,13 @@ def stereo_sgbm_hier_batch(
 
     backend = params.backend
     if backend == "auto":
-        # Fused Pallas LR (stereo/lr_pallas.py): measured 164->169 Mpx/s
-        # on the hier16 headline config (benchmarks/hier_ab_r3c.py);
-        # bit-identical to the scan chains (tests/test_lr_pallas.py).
-        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+        # Full-res assemble LR: the XLA static-shift chains. The fused
+        # Pallas kernel is bit-identical (tests/test_lr_pallas.py) but a
+        # WASH at 720p map sizes (hier_ab_r3d/_r3d2 A/Bs, both directions
+        # within run noise; the earlier recorded 164->169 "win" was an
+        # invalid A/B — _LR_PALLAS silently forced scan in both arms).
+        # It DOES win at the 16x-smaller coarse maps (clr_backend above).
+        backend = "scan"
     frames = _assemble_disparity_pack(
         list(stats), s[:, :, D:], W, D, D, B, params, backend
     )

@@ -34,10 +34,15 @@ from stereo_vision_tpu.stereo.postprocess import speckle_filter
 
 _BIG = jnp.int32(1 << 29)
 
-# LR check backend: the fused Pallas kernel (stereo/lr_pallas.py) is
-# bit-identical but measured NO faster than the XLA static-shift chains
-# (25.9 vs 25.5 ms full-frame A/B on v5e) — XLA fuses the select chains
-# better than the device trace suggested. Kept off; flip for A/B timing.
+# LR backend for the EXACT full-D path: the fused Pallas kernel
+# (stereo/lr_pallas.py) is bit-identical but measured NO faster than the
+# XLA static-shift chains there (25.9 vs 25.5 ms full-frame A/B on v5e)
+# — XLA fuses the select chains better than the device trace suggested.
+# Kept off for stereo_sgbm; flip for A/B timing. The hier batch path
+# requests the Pallas kernel EXPLICITLY via lr_fail(backend="pallas")
+# (an explicit request is honored regardless of this flag — r3b shipped
+# backend resolution that this flag silently overrode back to scan,
+# losing the measured hier win).
 _LR_PALLAS = False
 
 
@@ -400,7 +405,7 @@ def lr_fail(
     maxD = mindisp + ndisp
     minX1 = min_x
 
-    if backend == "pallas" and _LR_PALLAS:
+    if backend == "pallas":
         from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas
 
         d_f = jnp.floor(disp).astype(jnp.int32)
@@ -499,7 +504,10 @@ def stereo_sgbm(
         valid = valid & ~lr_fail(
             minS, best, disp,
             W=W, min_x=minX1, ndisp=ndisp, mindisp=mindisp,
-            max_diff=params.disp12_max_diff, backend=backend,
+            max_diff=params.disp12_max_diff,
+            # The exact path keeps the XLA chains (measured no Pallas win
+            # at full D; _LR_PALLAS flips it for A/B).
+            backend=backend if _LR_PALLAS else "scan",
         )
 
     invalid_val = float(mindisp - 1)

@@ -163,10 +163,12 @@ class TestHierAgreement:
 
 class TestHierFastAgreement:
     """HIER_FAST (band 16, G 8, tile 1, local_window 1 — 8 frames per
-    128-lane pack, the bench.py `hier16` mode). Measured 2026-08-17 (CPU
-    scan backend, D=128, 240x512): ramp 0.9851, occlusion 0.9887,
-    repeated texture 1.0000, 50-px-jump 0.9834 — every adversarial scene
-    above the 0.98 BASELINE bar; pins keep a small margin."""
+    128-lane pack, the bench.py `hier16` mode). Measured 2026-08-18 with
+    coarse_lr=-1 (CPU scan backend, D=128, 240x512): ramp 0.9845,
+    occlusion 0.9899, repeated texture 1.0000, 50-px-jump 0.9846 — every
+    adversarial scene above the 0.98 BASELINE bar; pins keep a small
+    margin. (With the coarse LR on: 0.9851/0.9883/1.0000/0.9834 —
+    benchmarks/coarse_lr_agreement.py records the A/B.)"""
 
     def _run(self, pair, thresh, epe_max):
         from stereo_vision_tpu.stereo.hier import HIER_FAST
@@ -191,4 +193,6 @@ class TestHierFastAgreement:
         self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), 0.995, 0.02)
 
     def test_big_jump(self):
-        self._run(bigjump_pair(), 0.978, 0.25)  # measured epe 0.216 (bar: <= 1 px)
+        # Measured epe 0.261 with HIER_FAST coarse_lr=-1 (0.216 with the
+        # coarse LR on); agreement 0.9846 vs 0.9834. Bar: <= 1 px.
+        self._run(bigjump_pair(), 0.978, 0.3)
