@@ -9,7 +9,12 @@ cv2.StereoBM / cv2.StereoSGBM.
 
 from stereo_vision_tpu.stereo.bm import StereoBMParams, stereo_bm
 from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
-from stereo_vision_tpu.stereo.hier import HierParams, stereo_sgbm_hier
+from stereo_vision_tpu.stereo.hier import (
+    HIER_FAST,
+    HierParams,
+    stereo_sgbm_hier,
+    stereo_sgbm_hier_batch,
+)
 from stereo_vision_tpu.stereo.depth import reproject_disparity_to_3d, depth_from_disparity
 from stereo_vision_tpu.stereo.postprocess import speckle_filter, left_right_check
 
@@ -19,7 +24,9 @@ __all__ = [
     "StereoSGBMParams",
     "stereo_sgbm",
     "HierParams",
+    "HIER_FAST",
     "stereo_sgbm_hier",
+    "stereo_sgbm_hier_batch",
     "reproject_disparity_to_3d",
     "depth_from_disparity",
     "speckle_filter",

@@ -381,6 +381,52 @@ def _aligned_box_kernel(P, K, G, bs, H, W,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _aligned_box_kernel_srows(
+    P, K, G, bs, H, W,
+    pm2_ref, pm1_ref, p0_ref, pp1_ref, pp2_ref,
+    sm2_ref, sm1_ref, s0_ref, sp1_ref, sp2_ref,
+    out_ref,
+):
+    """_aligned_box_kernel with the 8 delta maps derived IN-KERNEL from
+    raw shift-map rows (5 clamped-index (1, P, W) specs, like the pix
+    kernel's image rows).
+
+    The precomputed d_ref path materializes an (H, 8P, W) i32 delta
+    array (~236 MB/pack at 720p/P=8) plus its XLA construction passes;
+    here the same deltas are 5 tiny row DMAs + 4 pack_mm + subtracts.
+    Clamped row indices == edge-padded s (the d_ref formulation's pad);
+    column deltas use _shift_rows edge replicate == sxe's edge pad.
+    Bit-identical (tests/test_banded_pallas.py::TestBoxInKernelDeltas).
+    """
+    s_c = _pack_mm(s0_ref[0], P)
+
+    center = p0_ref[0].astype(jnp.float32)
+    acc = center
+    for ref, sref in (
+        (pm2_ref, sm2_ref), (pm1_ref, sm1_ref),
+        (pp1_ref, sp1_ref), (pp2_ref, sp2_ref),
+    ):
+        a = ref[0].astype(jnp.float32)
+        d = s_c - _pack_mm(sref[0], P)
+        acc = acc + _align_window_packed(a, d, center, P, G)
+
+    out = acc
+    for dx in (-2, -1, 1, 2):
+        a = _shift_rows(acc, dx)
+        d = s_c - _shift_rows(s_c, dx)
+        out = out + _align_window_packed(a, d, acc, P, G)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+# A/B toggle: derive the box kernel's alignment deltas in-kernel from s
+# rows instead of a precomputed (H, 8P, W) delta array. Measured +1.6%
+# on the hier16 headline (benchmarks/hier_ab_r3e.py: 179.6 vs 176.7
+# Mpx/s) — kills ~236 MB/pack of i32 delta traffic plus its XLA
+# construction passes. Default on; the d_ref path stays exactness-pinned
+# (tests/test_banded_pallas.py::TestBoxInKernelDeltas).
+_BOX_INKERNEL_DELTAS = True
+
+
 @functools.partial(jax.jit, static_argnames=("band", "granularity", "block_size", "interpret"))
 def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5, interpret: bool = False):
     """Pallas aligned 5x5 box over the packed banded pixel cost.
@@ -396,6 +442,39 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
     assert P * K == 128 and block_size == 5, "kernel is specialized to bs=5"
     G = granularity
 
+    def spec_dy(dy):
+        return pl.BlockSpec(
+            (1, W, 128),
+            lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec((1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+
+    if _BOX_INKERNEL_DELTAS:
+        s_t = jnp.moveaxis(s, 0, 1).astype(jnp.int32)  # (H, P, W)
+
+        def spec_s(dy):
+            return pl.BlockSpec(
+                (1, P, W),
+                lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        kern = functools.partial(
+            _aligned_box_kernel_srows, P, K, G, block_size, H, W
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(H,),
+            in_specs=[spec_dy(d) for d in (-2, -1, 0, 1, 2)]
+            + [spec_s(d) for d in (-2, -1, 0, 1, 2)],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+            interpret=interpret,
+        )(pix, pix, pix, pix, pix, s_t, s_t, s_t, s_t, s_t)
+
     se = jnp.pad(s, ((0, 0), (2, 2), (0, 0)), mode="edge")
     sxe = jnp.pad(s, ((0, 0), (0, 0), (2, 2)), mode="edge")
     deltas = [s - se[:, 2 + dy : 2 + dy + H] for dy in (-2, -1, 1, 2)]
@@ -404,15 +483,7 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
         [jnp.moveaxis(d, 0, 1).astype(jnp.int32) for d in deltas], axis=1
     )  # (H, 8P, W) — P on sublanes (see _pack_mm)
 
-    def spec_dy(dy):
-        return pl.BlockSpec(
-            (1, W, 128),
-            lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
     specD = pl.BlockSpec((1, 8 * P, W), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
     kern = functools.partial(_aligned_box_kernel, P, K, G, block_size, H, W)
     return pl.pallas_call(
         kern,

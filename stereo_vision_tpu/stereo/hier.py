@@ -177,6 +177,14 @@ def _upsample_repeat(s: jnp.ndarray, f: int, fx: int | None = None) -> jnp.ndarr
     return u.astype(s.dtype)
 
 
+# A/B toggle: unroll _fill_invalid's rounds into one XLA fusion instead
+# of a fori_loop. Measured a wash on-chip (benchmarks/hier_ab_r3e.py:
+# 176.3 vs 176.7 Mpx/s alone, and 179.0 vs 179.6 stacked on the box
+# in-kernel deltas) — the coarse fill is not dispatch-overhead bound.
+# Kept as a tested option, default off.
+_FILL_UNROLL = False
+
+
 def _fill_invalid(disp: jnp.ndarray, invalid_below: float, rounds: int = 12) -> jnp.ndarray:
     """Fill invalid coarse-prior pixels from the MIN of valid 4-neighbors
     (cv2-style occlusion fill: occluded regions belong to the background,
@@ -197,7 +205,12 @@ def _fill_invalid(disp: jnp.ndarray, invalid_below: float, rounds: int = 12) -> 
         )
         return jnp.where(valid | (m >= big), d, m)
 
-    d = jax.lax.fori_loop(0, rounds, body, disp.astype(jnp.float32))
+    d = disp.astype(jnp.float32)
+    if _FILL_UNROLL:
+        for i in range(rounds):
+            d = body(i, d)
+    else:
+        d = jax.lax.fori_loop(0, rounds, body, d)
     return jnp.where(d >= invalid_below, d, 0.0)
 
 

@@ -285,6 +285,32 @@ class TestStridedSearch:
         np.testing.assert_array_equal(got, full[:, :, ::2])
 
 
+class TestBoxInKernelDeltas:
+    def test_both_delta_paths_identical(self, monkeypatch):
+        """The in-kernel-deltas box kernel (5 s-row specs) must match the
+        precomputed-d_ref kernel bit-for-bit (both stay available; the
+        toggle picks the measured-faster one)."""
+        from stereo_vision_tpu.stereo import banded_pallas
+
+        left, right = _rand_scene(P, H, W, D, seed=22)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=23, tile=4)
+        s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        pix = banded_pixel_cost_pack(
+            left, right, s_ext,
+            ndisp=D, band=K, granularity=G, ftzero=PARAMS.ftzero,
+            interpret=True,
+        )
+        outs = {}
+        for flag in (False, True):
+            monkeypatch.setattr(banded_pallas, "_BOX_INKERNEL_DELTAS", flag)
+            aligned_box_packed.clear_cache()
+            outs[flag] = np.asarray(
+                aligned_box_packed(pix, s, K, G, PARAMS.block_size, interpret=True)
+            )
+        aligned_box_packed.clear_cache()
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+
 class TestVolInt16:
     def test_vol_int16_store_exact(self, monkeypatch):
         """_VOL_INT16 gated variant (measured slower on-chip, kept as a
