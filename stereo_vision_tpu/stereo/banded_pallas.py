@@ -150,22 +150,33 @@ def _pack_mm(vals, P):
 
 
 def _pix_kernel(
-    P, K, D, G, ftz, stride, H, W, Wp,
+    P, K, D, G, ftz, stride, H, W, Wv, x0, Wp,
     lm1_ref, l0_ref, lp1_ref, rm1_ref, r0_ref, rp1_ref, s_ref,
     out_ref,
 ):
-    """Grid step y: emit the banded per-pixel BT cost row (1, W, 128).
+    """Grid step y: emit the banded per-pixel BT cost row (1, Wv, 128).
 
     Inputs are RAW image rows y-1/y/y+1 (clamped at the image border =
-    sobel's replicate rule) as (1, P, W) frame-major blocks — the 3-D
+    sobel's replicate rule) as (1, P, width) frame-major blocks — the 3-D
     layout makes single-row blocks legal, P rides the SUBLANE axis (pad
     4->8, 2x; lane-axis P would tile-pad 4->128, 32x — see _pack_mm),
     and the (P, W) slabs feed _pack_mm directly.
 
+    Valid-region trim: only columns x >= x0 are emitted (Wv = W - x0;
+    x0 = min_x - 8, 8-aligned). The aggregation consumes columns
+    x >= min_x only (banded.banded_stats_scan slices the cost volume
+    before aggregating), and its 5x5 box input needs pix exact down to
+    min_x - 2 — the left slabs arrive pre-sliced to x >= x0 and the
+    left-side ops, the s-select loop (the kernel's dominant block), and
+    the BT math all run Wv wide. Columns x0..x0+1 inherit replicate
+    sobel/extrema at the trim edge; they only reach box outputs below
+    min_x - 5, which nothing reads. RIGHT rows stay full-width (cost at
+    x needs right samples down to x - D).
+
     Sobel, BT half-extrema, and the D-lane replicate pad of the right
-    row are ALL derived in-kernel on the packed (W, 128) sublane-major
-    layout (x shifts are cheap sublane concats there): the XLA prep
-    that used to build 8 materialized (P, H, W[+D+1]) arrays measured
+    row are ALL derived in-kernel on the packed sublane-major layout
+    (x shifts are cheap sublane concats there): the XLA prep that used
+    to build 8 materialized (P, H, W[+D+1]) arrays measured
     0.95 ms/frame — ~15 unfused HBM passes against a ~0.1 ms floor
     (benchmarks/prep_split_bench.py / bw_probe.py). Bit-exact: packed
     operands are raw ints <= 255 (within bf16's mantissa), and every
@@ -176,21 +187,24 @@ def _pix_kernel(
     def pack(ref):
         return _pack_mm(ref[0], P)
 
-    xi = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (Wv, 128), 0)
+    xi_r = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
 
-    def sobel(m1, p0, p1):
+    def sobel(m1, p0, p1, border):
         # dx is linear: apply it once to t = up + 2*mid + down.
         t = m1 + 2.0 * p0 + p1
         d = _shift_rows(t, 1) - _shift_rows(t, -1)  # t[x+1] - t[x-1]
         v = jnp.clip(d, -float(ftz), float(ftz)) + float(ftz)
-        return jnp.where((xi == 0) | (xi == W - 1), float(ftz), v)
+        return jnp.where(border, float(ftz), v)
 
     def extrema(a):
         # cv2 BT half-sample extrema along x (cf. sgbm._bt_channel_cost).
+        # Image-border selects use absolute x (xi + x0); the replicate
+        # value at the trim edge x0 > 0 equals the border rule anyway.
         vl = jnp.floor((a + _shift_rows(a, -1)) * 0.5)
         vr = jnp.floor((a + _shift_rows(a, 1)) * 0.5)
-        vl = jnp.where(xi == 0, a, vl)
-        vr = jnp.where(xi == W - 1, a, vr)
+        vl = jnp.where(xi + x0 == 0, a, vl)
+        vr = jnp.where(xi + x0 == W - 1, a, vr)
         return (
             jnp.minimum(jnp.minimum(vl, vr), a),
             jnp.maximum(jnp.maximum(vl, vr), a),
@@ -198,14 +212,17 @@ def _pix_kernel(
 
     l0p = pack(l0_ref)
     r0p = pack(r0_ref)
-    ls = sobel(pack(lm1_ref), l0p, pack(lp1_ref))
-    rs = sobel(pack(rm1_ref), r0p, pack(rp1_ref))
+    ls = sobel(
+        pack(lm1_ref), l0p, pack(lp1_ref),
+        (xi + x0 == 0) | (xi + x0 == W - 1),
+    )
+    rs = sobel(pack(rm1_ref), r0p, pack(rp1_ref), (xi_r == 0) | (xi_r == W - 1))
 
     # Shift values at the CENTER pixel (the select mask for all three
     # neighbor samples: vl/vr belong to disparity s(x)+k, so the x-1/x+1
     # samples must use s(x), not their own column's s — selecting each
     # row by its own s breaks the BT half-extrema at tile transitions).
-    s_c = pack(s_ref)[1 : W + 1]
+    s_c = pack(s_ref)[1 : Wv + 1]
 
     # COMBINED-channel right row: encode (sobel, raw) as sob + 1024*raw —
     # exact f32 integers <= 2^18 — so the k-shift stack build and the
@@ -231,18 +248,18 @@ def _pix_kernel(
         shifted = jnp.concatenate([z, B[:-n]], axis=0)
         B = jnp.where((k_lane & shift) != 0, shifted, B)
         shift *= 2
-    # Per-column s-select: {Em, M, Ep}[x, k] = St[x + D - s(x) + {-1,0,1}]
+    # Per-column s-select: {Em, M, Ep}[x, k] = St[x + x0 + D - s(x) + {-1,0,1}]
     Em = M = Ep = None
     for j in range(0, (D - K) // G + 1):
-        off = D - j * G - 1
-        sl = B[off : off + W + 2]
+        off = x0 + D - j * G - 1
+        sl = B[off : off + Wv + 2]
         if Em is None:
-            Em, M, Ep = sl[0:W], sl[1 : W + 1], sl[2 : W + 2]
+            Em, M, Ep = sl[0:Wv], sl[1 : Wv + 1], sl[2 : Wv + 2]
         else:
             hit = s_c == float(j * G)
-            Em = jnp.where(hit, sl[0:W], Em)
-            M = jnp.where(hit, sl[1 : W + 1], M)
-            Ep = jnp.where(hit, sl[2 : W + 2], Ep)
+            Em = jnp.where(hit, sl[0:Wv], Em)
+            M = jnp.where(hit, sl[1 : Wv + 1], M)
+            Ep = jnp.where(hit, sl[2 : Wv + 2], Ep)
 
     def split(c):
         """combined value -> (sobel part, raw part); 2^-10 is a power of
@@ -270,37 +287,43 @@ def _pix_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ndisp", "band", "granularity", "ftzero", "stride", "interpret"),
+    static_argnames=(
+        "ndisp", "band", "granularity", "ftzero", "stride", "x0", "interpret"
+    ),
 )
 def banded_pixel_cost_pack(
     left, right, s,
     ndisp: int, band: int, granularity: int, ftzero: int = 15,
-    stride: int = 1, interpret: bool = False,
+    stride: int = 1, x0: int = 0, interpret: bool = False,
 ) -> jnp.ndarray:
     """Packed banded per-pixel BT cost, straight from the RAW images.
 
     Args:
       left, right: (P, H, W) int images (<= 255 levels).
       s: (P, H, W + 2) edge-padded shift maps (int).
+      x0: first emitted column (8-aligned; callers pass min_x - 8 so the
+        box window's support at x >= min_x stays exact — see _pix_kernel).
 
     Sobel, half-extrema, and right-row padding happen inside the kernel
     (see _pix_kernel) — no prepped intermediates touch HBM.
 
     Returns:
-      (H, W, 128) int16, lane P*k + b = cost of frame b at disparity
-      s_b(y, x) + k.
+      (H, W - x0, 128) int16, lane P*k + b = cost of frame b at column
+      x0 + x and disparity s_b(y, x0 + x) + k.
     """
     P, H, W = left.shape
     K = band
     assert P * K == 128
+    assert x0 >= 0 and x0 % 8 == 0
     D, G = ndisp, granularity
+    Wv = W - x0
     Wp = W + D + 1
 
     # Frame-major (H, P, width) layout: single-row blocks are legal 3-D
     # blocks, feed the MXU packer directly, and keep P on the sublane
     # axis (see _pack_mm on why lane-axis P costs 32x tile padding).
     hpw = lambda a: jnp.moveaxis(a, 0, 1).astype(jnp.int32)
-    l_t, r_t, s_in = hpw(left), hpw(right), hpw(s)
+    l_t, r_t, s_in = hpw(left)[:, :, x0:], hpw(right), hpw(s)[:, :, x0 : x0 + Wv + 2]
 
     def spec_dy(dy, width):
         return pl.BlockSpec(
@@ -310,18 +333,83 @@ def banded_pixel_cost_pack(
         )
 
     out_spec = pl.BlockSpec(
-        (1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
+        (1, Wv, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = functools.partial(_pix_kernel, P, K, D, G, ftzero, stride, H, W, Wp)
+    kern = functools.partial(
+        _pix_kernel, P, K, D, G, ftzero, stride, H, W, Wv, x0, Wp
+    )
     return pl.pallas_call(
         kern,
         grid=(H,),
-        in_specs=[spec_dy(d, W) for d in (-1, 0, 1)] * 2 + [spec_dy(0, W + 2)],
+        in_specs=[spec_dy(d, Wv) for d in (-1, 0, 1)]
+        + [spec_dy(d, W) for d in (-1, 0, 1)]
+        + [spec_dy(0, Wv + 2)],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((H, Wv, 128), jnp.int16),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(l_t, l_t, l_t, r_t, r_t, r_t, s_in)
+
+
+# ---------------------------------------------------------------------------
+# fused box downsample (the hier coarse pass's image pyramid)
+# ---------------------------------------------------------------------------
+
+
+def _downsample_kernel(P, f, W, Wc, rpb, in_ref, out_ref):
+    """Grid step r: rpb = 8/f output rows from the 8 raw rows 8r..8r+7.
+
+    Row sums (<= 255f, exact f32 ints) then ONE 0/1 pool contraction
+    E[w, wc] = (w // f == wc) per output row; sums <= 255f^2 exceed
+    bf16's mantissa, so the dot runs HIGHEST (exact f32). jnp.round is
+    half-to-even, matching hier._downsample_box bit-for-bit.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, Wc), 0)
+    out_c = jax.lax.broadcasted_iota(jnp.int32, (W, Wc), 1)
+    E = (col // f == out_c).astype(jnp.float32)
+    inv = 1.0 / (f * f)  # f is a power of two: the scale is exact
+    for j in range(rpb):
+        acc = in_ref[f * j].astype(jnp.float32)
+        for i in range(1, f):
+            acc = acc + in_ref[f * j + i].astype(jnp.float32)
+        u = jax.lax.dot(acc, E, precision=jax.lax.Precision.HIGHEST)
+        out_ref[j] = jnp.round(u * inv).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def downsample_box_pack(img, f: int, interpret: bool = False) -> jnp.ndarray:
+    """f x f box-mean downsample of a (P, H, W) int pack, rounded back to
+    integer levels — fused Pallas form of hier._downsample_box
+    (bit-identical, tests/test_banded_pallas.py::TestDownsamplePack).
+
+    The XLA dot_general form spends ~20 unfused passes per image on
+    converts/relayouts around the two contractions — measured 0.567
+    ms/frame, HALF of the hier16 coarse+shift stage
+    (benchmarks/coarse_split_bench.py, 2026-08-18); here the row sums
+    and the 0/1 pool contraction run per 8-row block in VMEM.
+
+    Requires f | 8 and H % 8 == 0 (callers fall back to the matmul form
+    otherwise). Trailing W % f columns are dropped, like the matmul form.
+    """
+    P, H, W = img.shape
+    assert 8 % f == 0 and H % 8 == 0
+    Wc, Hc, rpb = W // f, H // f, 8 // f
+    x = jnp.moveaxis(img, 0, 1).astype(jnp.int32)  # (H, P, W), P on sublanes
+    kern = functools.partial(_downsample_kernel, P, f, W, Wc, rpb)
+    out = pl.pallas_call(
+        kern,
+        grid=(H // 8,),
+        in_specs=[
+            pl.BlockSpec((8, P, W), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rpb, P, Wc), lambda r: (r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Hc, P, Wc), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+    return jnp.moveaxis(out, 1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +442,7 @@ def _shift_rows(v, dx):
     return jnp.concatenate([edge, v[: v.shape[0] - n]], axis=0)
 
 
-def _aligned_box_kernel(P, K, G, bs, H, W,
+def _aligned_box_kernel(P, K, G, bs, H, W, out_off,
                         pm2_ref, pm1_ref, p0_ref, pp1_ref, pp2_ref, d_ref,
                         out_ref):
     """Grid step y: windowed banded cost row, fully aligned.
@@ -363,6 +451,10 @@ def _aligned_box_kernel(P, K, G, bs, H, W,
     d_ref: (1, 8P, W) i32 — row deltas s(y)-s(y+dy), dy in (-2,-1,1,2),
     at slots 0..3; column deltas s(y,x)-s(y,x+dx), dx in (-2,-1,1,2), at
     slots 4..7 (sublane idx*P + b for frame b).
+
+    out_off > 0 trims the emitted row to columns >= out_off (the
+    valid-region crop the aggregation consumes — writing it here saves
+    the XLA slice pass over the full volume).
     """
 
     def packd(idx):
@@ -378,11 +470,11 @@ def _aligned_box_kernel(P, K, G, bs, H, W,
     for i, dx in enumerate((-2, -1, 1, 2)):
         a = _shift_rows(acc, dx)
         out = out + _align_window_packed(a, packd(4 + i), acc, P, G)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = out[out_off:].astype(out_ref.dtype)
 
 
 def _aligned_box_kernel_srows(
-    P, K, G, bs, H, W,
+    P, K, G, bs, H, W, out_off,
     pm2_ref, pm1_ref, p0_ref, pp1_ref, pp2_ref,
     sm2_ref, sm1_ref, s0_ref, sp1_ref, sp2_ref,
     out_ref,
@@ -415,7 +507,7 @@ def _aligned_box_kernel_srows(
         a = _shift_rows(acc, dx)
         d = s_c - _shift_rows(s_c, dx)
         out = out + _align_window_packed(a, d, acc, P, G)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = out[out_off:].astype(out_ref.dtype)
 
 
 # A/B toggle: derive the box kernel's alignment deltas in-kernel from s
@@ -427,11 +519,20 @@ def _aligned_box_kernel_srows(
 _BOX_INKERNEL_DELTAS = True
 
 
-@functools.partial(jax.jit, static_argnames=("band", "granularity", "block_size", "interpret"))
-def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5, interpret: bool = False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("band", "granularity", "block_size", "out_off", "interpret"),
+)
+def aligned_box_packed(
+    pix, s, band: int, granularity: int, block_size: int = 5,
+    out_off: int = 0, interpret: bool = False,
+):
     """Pallas aligned 5x5 box over the packed banded pixel cost.
 
-    pix: (H, W, 128) int16; s: (P, H, W) int32. Returns (H, W, 128) i16.
+    pix: (H, W, 128) int16; s: (P, H, W) int32 on the SAME columns as
+    pix. Returns (H, W - out_off, 128) i16 — out_off trims the emitted
+    row to the aggregation's valid region in-kernel (out_off % 8 == 0),
+    replacing the XLA slice pass over the full cost volume.
     (An XLA shift+select formulation measured 11 ms/frame at 720p — the
     lane-padded packed delta maps blow up to ~40 GB of materialized
     intermediates; in-kernel the deltas are (W, 8P) rows.)
@@ -440,7 +541,9 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
     P = s.shape[0]
     K = band
     assert P * K == 128 and block_size == 5, "kernel is specialized to bs=5"
+    assert out_off >= 0 and out_off % 8 == 0
     G = granularity
+    Wo = W - out_off
 
     def spec_dy(dy):
         return pl.BlockSpec(
@@ -449,7 +552,8 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
             memory_space=pltpu.VMEM,
         )
 
-    out_spec = pl.BlockSpec((1, W, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Wo, 128), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((H, Wo, 128), jnp.int16)
 
     if _BOX_INKERNEL_DELTAS:
         s_t = jnp.moveaxis(s, 0, 1).astype(jnp.int32)  # (H, P, W)
@@ -462,7 +566,7 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
             )
 
         kern = functools.partial(
-            _aligned_box_kernel_srows, P, K, G, block_size, H, W
+            _aligned_box_kernel_srows, P, K, G, block_size, H, W, out_off
         )
         return pl.pallas_call(
             kern,
@@ -470,7 +574,7 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
             in_specs=[spec_dy(d) for d in (-2, -1, 0, 1, 2)]
             + [spec_s(d) for d in (-2, -1, 0, 1, 2)],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
             interpret=interpret,
         )(pix, pix, pix, pix, pix, s_t, s_t, s_t, s_t, s_t)
@@ -484,13 +588,13 @@ def aligned_box_packed(pix, s, band: int, granularity: int, block_size: int = 5,
     )  # (H, 8P, W) — P on sublanes (see _pack_mm)
 
     specD = pl.BlockSpec((1, 8 * P, W), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
-    kern = functools.partial(_aligned_box_kernel, P, K, G, block_size, H, W)
+    kern = functools.partial(_aligned_box_kernel, P, K, G, block_size, H, W, out_off)
     return pl.pallas_call(
         kern,
         grid=(H,),
         in_specs=[spec_dy(d) for d in (-2, -1, 0, 1, 2)] + [specD],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.int16),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(pix, pix, pix, pix, pix, d_all)
@@ -922,6 +1026,13 @@ def banded_reduce_pack(
 # ---------------------------------------------------------------------------
 
 
+# A/B toggle: emit pix/box only on the valid region (x >= min_x - 8 /
+# x >= min_x). Output-invariant by construction (the scan reference
+# slices the cost volume to x >= min_x before aggregating); the off
+# position keeps the full-width kernels + XLA slice for comparison.
+_TRIM_VALID = True
+
+
 def _half_extrema(a):
     """cv2 BT half-sample extrema along rows (cf. sgbm._bt_channel_cost)."""
     l_ = jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
@@ -976,19 +1087,30 @@ def banded_stats_pack(
     P, H, W = left.shape
     D = params.num_disparities
 
+    # Valid-region trim: the aggregation consumes x >= min_x only, and
+    # its box input needs pix exact down to min_x - 2 — emit pix from
+    # x0 = min_x - 8 (8-aligned) and have the box kernel crop to min_x
+    # in-kernel, eliminating the XLA slice pass over the cost volume
+    # (~0.4 GB read+write per 720p pack).
+    if _TRIM_VALID and min_x >= 8 and min_x % 8 == 0:
+        x0, out_off = min_x - 8, 8
+    else:
+        x0, out_off = 0, 0
+
     s_ext = jnp.pad(s, ((0, 0), (0, 0), (1, 1)), mode="edge")
     pix = banded_pixel_cost_pack(
         left.astype(jnp.int32), right.astype(jnp.int32), s_ext,
         ndisp=D, band=band, granularity=granularity,
-        ftzero=params.ftzero, stride=stride, interpret=interpret,
+        ftzero=params.ftzero, stride=stride, x0=x0, interpret=interpret,
     )
     # int16: windowed cost < 15k; halves the volume's HBM traffic and the
     # scan kernels' block DMAs (f32 blocks OOM'd scoped VMEM at 720p).
     C = aligned_box_packed(
-        pix, s, band, granularity, params.block_size, interpret=interpret
+        pix, s[:, :, x0:], band, granularity, params.block_size,
+        out_off=out_off, interpret=interpret,
     )
 
-    Cv = C[:, min_x:, :]
+    Cv = C if x0 + out_off == min_x else C[:, min_x:, :]
     sv = s[:, :, min_x:]
     minS, best, sm, s0, sp, uok = banded_reduce_pack(
         Cv, sv, band, granularity, params.P1, params.P2,

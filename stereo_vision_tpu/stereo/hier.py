@@ -363,6 +363,20 @@ def _assemble_disparity(
 # dispatches.
 _PACK_ASSEMBLE = False
 
+# Same toggle for the COARSE assemble only. Hypothesis was that at
+# coarse map sizes ((180, 288) at 720p/f=4) the per-frame chains are
+# fixed-pass-overhead bound (the regime where the Pallas coarse LR won),
+# so row-stacking pack_c frames into ONE chain should help. MEASURED a
+# WASH on the chip (benchmarks/hier_ab_r3f.py, 2026-08-18: 180.4 vs
+# 181.2 Mpx/s alloff, and both-on 187.7 vs trim-alone 188.3) — XLA
+# already overlaps the independent per-frame coarse chains. Kept as a
+# tested option (bit-identical output), default off.
+_COARSE_PACK_ASSEMBLE = False
+
+# A/B toggle: fused Pallas box downsample for the coarse image pyramid
+# (banded_pallas.downsample_box_pack, bit-identical to _downsample_box).
+_DS_PALLAS = True
+
 # LR backend for the COARSE assemble in stereo_sgbm_hier_batch ("auto"
 # resolves to the fused Pallas kernel on TPU). A/B on the chip
 # (benchmarks/hier_ab_r3d.py + _r3d2.py, 2026-08-18): the coarse scan-LR
@@ -376,20 +390,26 @@ _PACK_ASSEMBLE = False
 _COARSE_LR_BACKEND = "auto"
 
 
-def _assemble_disparity_pack(stats, s_v, W, min_x, ndisp_full, band, params, backend, stride=1):
+def _assemble_disparity_pack(
+    stats, s_v, W, min_x, ndisp_full, band, params, backend, stride=1,
+    row_stack=None,
+):
     """Assemble the packed stats into (P, H, W) disparities.
 
-    Row-stacked form (``_PACK_ASSEMBLE``): every op in
-    :func:`_assemble_disparity` (subpixel parabola, LR check via static
-    row shifts, the column update-slice) is row-local, so the P frames
-    can be concatenated along rows and assembled in ONE call with
-    bit-identical per-frame output — but it measured ~3% slower (see
-    toggle note). The per-frame loop is the default. (The vmap
-    formulation is NOT equivalent in cost either way: XLA lays vmapped
-    LR intermediates out batch-minormost, a 32x lane-padding blowup.)
+    Row-stacked form (``row_stack``, default ``_PACK_ASSEMBLE``): every
+    op in :func:`_assemble_disparity` (subpixel parabola, LR check via
+    static row shifts, the column update-slice) is row-local, so the P
+    frames can be concatenated along rows and assembled in ONE call with
+    bit-identical per-frame output — but it measured ~3% slower at FULL
+    resolution (see toggle note), while the coarse assemble passes
+    row_stack=True (``_COARSE_PACK_ASSEMBLE``). (The vmap formulation is
+    NOT equivalent in cost either way: XLA lays vmapped LR intermediates
+    out batch-minormost, a 32x lane-padding blowup.)
     """
+    if row_stack is None:
+        row_stack = _PACK_ASSEMBLE
     P, H = stats[0].shape[0], stats[0].shape[1]
-    if not _PACK_ASSEMBLE:
+    if not row_stack:
         return jnp.stack([
             _assemble_disparity(
                 [st[b] for st in stats],
@@ -521,7 +541,10 @@ def stereo_sgbm_hier_batch(
     #                     or ONE with coarse_stride=2: Kc=16)
     assert P % pack_c == 0, f"pack {P} not a multiple of coarse pack {pack_c}"
 
-    from stereo_vision_tpu.stereo.banded_pallas import banded_stats_pack
+    from stereo_vision_tpu.stereo.banded_pallas import (
+        banded_stats_pack,
+        downsample_box_pack,
+    )
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     clr_backend = _COARSE_LR_BACKEND
@@ -529,9 +552,16 @@ def stereo_sgbm_hier_batch(
         clr_backend = "pallas" if on_tpu and not interpret else "scan"
 
     # 1. Coarse prior via the SAME packed kernels (band = Kc, s = 0).
+    # Downsample backend: the fused Pallas kernel when its shape
+    # constraints hold (bit-identical to _downsample_box, which spends
+    # ~20 unfused XLA passes per image — benchmarks/coarse_split_bench).
     cp = _coarse_params(params, D, fx, hp)
-    lc = _downsample_box(left, f, fx)
-    rc = _downsample_box(right, f, fx)
+    if _DS_PALLAS and (on_tpu or interpret) and fx == f and 8 % f == 0 and H % 8 == 0:
+        lc = downsample_box_pack(left, f, interpret=interpret)
+        rc = downsample_box_pack(right, f, interpret=interpret)
+    else:
+        lc = _downsample_box(left, f, fx)
+        rc = _downsample_box(right, f, fx)
     Hc, Wc = lc.shape[1:]
     s0 = jnp.zeros((pack_c, Hc, Wc), jnp.int32)
     disp_c = jnp.concatenate([
@@ -541,7 +571,7 @@ def stereo_sgbm_hier_batch(
                 min_x=Dc, stride=hp.coarse_stride, interpret=interpret,
             )),
             None, Wc, Dc, Dc, Kc, cp, clr_backend,
-            stride=hp.coarse_stride,
+            stride=hp.coarse_stride, row_stack=_COARSE_PACK_ASSEMBLE,
         )
         for i in range(0, P, pack_c)
     ])

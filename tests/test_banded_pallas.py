@@ -329,3 +329,44 @@ class TestVolInt16:
             np.testing.assert_array_equal(
                 np.asarray(got[i]), np.asarray(base[i]), err_msg=name
             )
+
+
+class TestValidTrim:
+    def test_trim_on_off_identical(self, monkeypatch):
+        """The valid-region trim (pix emits x >= min_x - 8, box crops to
+        min_x in-kernel) is output-invariant: stats must be bit-identical
+        with the trim disabled (full-width kernels + XLA slice)."""
+        from stereo_vision_tpu.stereo import banded_pallas
+
+        left, right = _rand_scene(P, H, W, D, seed=30)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=31)
+        outs = {}
+        for flag in (False, True):
+            monkeypatch.setattr(banded_pallas, "_TRIM_VALID", flag)
+            banded_pallas.banded_pixel_cost_pack.clear_cache()
+            banded_pallas.aligned_box_packed.clear_cache()
+            outs[flag] = banded_stats_pack(
+                left, right, s, PARAMS, K, G, min_x=D, interpret=True
+            )
+        banded_pallas.banded_pixel_cost_pack.clear_cache()
+        banded_pallas.aligned_box_packed.clear_cache()
+        for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+            np.testing.assert_array_equal(
+                np.asarray(outs[True][i]), np.asarray(outs[False][i]),
+                err_msg=name,
+            )
+
+
+class TestDownsamplePack:
+    @pytest.mark.parametrize("f", [2, 4, 8])
+    def test_exact_vs_matmul_form(self, f):
+        """Fused Pallas box downsample vs hier._downsample_box (incl. the
+        half-to-even rounding and the trailing W % f column drop)."""
+        from stereo_vision_tpu.stereo.banded_pallas import downsample_box_pack
+        from stereo_vision_tpu.stereo.hier import _downsample_box
+
+        rng = np.random.default_rng(40 + f)
+        img = jnp.asarray(rng.integers(0, 256, (4, 48, 96 + f)).astype(np.int32))
+        got = np.asarray(downsample_box_pack(img, f, interpret=True))
+        ref = np.asarray(_downsample_box(img, f))
+        np.testing.assert_array_equal(got, ref)
