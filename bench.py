@@ -17,6 +17,12 @@ Candidate modes (all full StereoSGBMParams semantics incl. speckle):
              band 32 (4 frames per 128-lane pack)
   hier16   — band-16 preset (HIER_FAST): 8 frames per pack, half the
              per-frame core work; agreement pinned in tests/test_hier.py
+  hier16x3 — hier16 with a 3-path full-res refinement (vertical pair +
+             L->R; the banded prior carries the global structure, so
+             dropping R->L costs ~0.2% agreement for ~+7% speed —
+             benchmarks/paths2_agreement*.py + hier_ab_r3i.py; 2-path
+             measured BELOW the 0.98 bar on the big-jump scene and is
+             not a candidate)
 
 Timing method: N chained runs inside one jit dispatch (each iteration's
 input depends on the previous output), materialized at the end — immune
@@ -95,6 +101,7 @@ def main() -> None:
     )
     p8 = StereoSGBMParams(**base)
     p4 = StereoSGBMParams(num_paths=4, **base)
+    p3 = StereoSGBMParams(num_paths=3, **base)
 
     left, right = _scene()
 
@@ -103,6 +110,7 @@ def main() -> None:
         "fast4": (lambda l, r: jax.vmap(lambda a, b: stereo_sgbm(a, b, p4))(l, r), 4),
         "hier4": (lambda l, r: stereo_sgbm_hier_batch(l, r, p4, HierParams()), 4),
         "hier16": (lambda l, r: stereo_sgbm_hier_batch(l, r, p4, HIER_FAST), 8),
+        "hier16x3": (lambda l, r: stereo_sgbm_hier_batch(l, r, p3, HIER_FAST), 8),
     }
 
     def batch(B):

@@ -31,7 +31,10 @@ def main() -> None:
     from bench import _scene, H, W, D, N
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
     from stereo_vision_tpu.stereo import hier
-    from stereo_vision_tpu.stereo.banded_pallas import banded_stats_pack
+    from stereo_vision_tpu.stereo.banded_pallas import (
+        banded_stats_pack,
+        downsample_box_pack,
+    )
 
     hp = hier.HIER_FAST
     P = 128 // hp.band
@@ -52,8 +55,10 @@ def main() -> None:
     pack_c = 128 // Dc
 
     def coarse_prior(l, r):
-        lc = jax.vmap(lambda a: hier._downsample_box(a, f))(l)
-        rc = jax.vmap(lambda a: hier._downsample_box(a, f))(r)
+        # Mirrors the production defaults (r3f/r3g): fused Pallas box
+        # downsample + the Pallas LR backend at the coarse assemble.
+        lc = downsample_box_pack(l, f)
+        rc = downsample_box_pack(r, f)
         Hc, Wc = lc.shape[1:]
         s0 = jnp.zeros((pack_c, Hc, Wc), jnp.int32)
         return jnp.concatenate([
@@ -62,7 +67,7 @@ def main() -> None:
                     lc[i:i + pack_c], rc[i:i + pack_c], s0, cp, Dc,
                     hp.granularity, min_x=Dc,
                 )),
-                None, Wc, Dc, Dc, Dc, cp, "scan",
+                None, Wc, Dc, Dc, Dc, cp, "pallas",
             )
             for i in range(0, P, pack_c)
         ])

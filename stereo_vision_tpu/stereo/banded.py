@@ -201,6 +201,7 @@ def aggregate_banded_scan(
     """
     C = C.astype(jnp.int32)
     with_diag = num_paths >= 8
+    with_horiz = num_paths >= 3
     H, W, B = C.shape
 
     # ---- vertical + diagonal set (down for C, up via the y-flip) ----
@@ -262,6 +263,8 @@ def aggregate_banded_scan(
     )
     Sv = jnp.moveaxis(Sv, 0, 1)
     S = Sv[0] + jnp.flip(Sv[1], 0)
+    if not with_horiz:
+        return S
 
     # ---- horizontal pair (L->R for C, R->L via the x-flip) ----
     C2h = jnp.stack([C, jnp.flip(C, 1)])
@@ -282,6 +285,8 @@ def aggregate_banded_scan(
         step_h, zero_h, (jnp.moveaxis(C2h, 2, 0), jnp.moveaxis(dh2, 2, 0))
     )
     Sh = jnp.moveaxis(Sh, 0, 2)
+    if num_paths == 3:  # vertical pair + L->R only
+        return S + Sh[0]
     return S + Sh[0] + jnp.flip(Sh[1], 1)
 
 

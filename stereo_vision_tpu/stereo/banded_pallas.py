@@ -754,8 +754,8 @@ def _horiz_kernel(P, K, G, P1, P2, reverse, mid_realign, c_ref, dh_ref, s_ref, L
 _VOL_INT16 = False
 
 
-def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
-    """Stats from the in-kernel sum of the four direction volumes.
+def _wta_kernel(P, K, uniq, *refs):
+    """Stats from the in-kernel sum of the 2-4 direction volumes.
 
     Output block (R, W, 32): lane j = P*stat + b, stats
     [minS, best, sm, s0, sp, uok]; P <= 4 packs at most 24 used lanes.
@@ -770,13 +770,11 @@ def _wta_kernel(P, K, uniq, a_ref, b_ref, c_ref, d_ref, out_ref):
     group so the sum IS the sample. S values exceed bf16's 8-bit mantissa,
     so those matmuls run at HIGHEST precision (exact f32 3-pass).
     """
-    _, W, _ = a_ref.shape
-    S = (
-        a_ref[0].astype(jnp.float32)
-        + b_ref[0].astype(jnp.float32)
-        + c_ref[0].astype(jnp.float32)
-        + d_ref[0].astype(jnp.float32)
-    )
+    *in_refs, out_ref = refs
+    _, W, _ = in_refs[0].shape
+    S = in_refs[0][0].astype(jnp.float32)
+    for r in in_refs[1:]:
+        S = S + r[0].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
     rowl = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     lanel = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -994,16 +992,24 @@ def banded_reduce_pack(
             interpret=interpret,
         )(cf, dh_rl if reverse else dh_lr)
 
-    s_lr = horiz(False)
-    s_rl = horiz(True)
-    s_dn, s_up, s_lr, s_rl = (a[:H] for a in (s_dn, s_up, s_lr, s_rl))
+    # Path count: 2 = vertical pair only, 3 = + L->R, 4+ = both
+    # horizontals (8 folds the diag set into the vertical kernel). The
+    # banded prior already carries the global structure, so the cheap
+    # modes lose far less than they would in full-range SGM (measured
+    # agreement per scene: benchmarks/paths2_agreement.py).
+    vols = [s_dn, s_up]
+    if num_paths >= 3:
+        vols.append(horiz(False))
+    if num_paths >= 4:
+        vols.append(horiz(True))
+    vols = [a[:H] for a in vols]
 
     spec_in = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_wta_kernel, P, K, float(uniq)),
         grid=(H,),
-        in_specs=[spec_in] * 4,
+        in_specs=[spec_in] * len(vols),
         out_specs=spec_out,
         out_shape=jax.ShapeDtypeStruct((H, W, 128), jnp.float32),
         # Width-scaled scoped-VMEM cap: 4 in + 1 out (1, W, 128) f32 rows
@@ -1013,7 +1019,7 @@ def banded_reduce_pack(
             vmem_limit_bytes=min(64, max(24, 24 * W // 1280)) * 1024 * 1024
         ),
         interpret=interpret,
-    )(s_dn, s_up, s_lr, s_rl)
+    )(*vols)
     # ONE contiguous lane slice + reshape, not 24 strided slices (each
     # strided slice re-reads the full 472 MB volume in XLA).
     packed = outs[:, :W0, : 6 * P].reshape(H, W0, 6, P)

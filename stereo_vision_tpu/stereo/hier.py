@@ -93,6 +93,10 @@ class HierParams(NamedTuple):
     # proportional to this; see postprocess.speckle_filter max_diameter).
     # None = exact cv2 semantics (radius = maxSpeckleSize - 1).
     speckle_diameter: int | None = None
+    # SGM path count of the COARSE pass (the prior only needs +-G
+    # accuracy; fewer coarse paths save scan kernels at the
+    # overhead-bound coarse grid sizes).
+    coarse_paths: int = 4
 
 
 # Measured fast preset (720p/D=128, TPU v5e, chained-jit): band 16 packs
@@ -430,7 +434,7 @@ def _coarse_params(params: StereoSGBMParams, D: int, fx: int, hp: HierParams) ->
         uniqueness_ratio=hp.coarse_uniqueness,
         disp12_max_diff=hp.coarse_lr,
         speckle_window_size=0,
-        num_paths=4,
+        num_paths=hp.coarse_paths,
     )
 
 

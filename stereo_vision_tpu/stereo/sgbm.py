@@ -229,16 +229,19 @@ def _aggregate_horiz(C2, P1, P2):
 
 
 def _aggregate_8(C, P1, P2, backend: str = "scan", num_paths: int = 8):
-    """Aggregated cost volume: 8 directions (MODE_HH parity) or 4
-    (fast mode — vertical + horizontal only).
+    """Aggregated cost volume: 8 directions (MODE_HH parity), 4
+    (fast mode — vertical + horizontal), 3 (+ L->R only) or 2
+    (vertical pair only; used by hierarchical coarse passes where the
+    prior only needs +-granularity accuracy).
 
     backend 'scan' runs the lax.scan reference; 'pallas' runs the VMEM-
     resident TPU kernels (stereo_vision_tpu.stereo.sgm_pallas), which are
-    bit-identical; 'auto' picks pallas on TPU backends.
+    bit-identical; 'auto' picks pallas on TPU backends. num_paths < 4 is
+    scan-only (the exact Pallas kernels ship 4/8-path).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
-    if backend == "pallas":
+    if backend == "pallas" and num_paths >= 4:
         from stereo_vision_tpu.stereo.sgm_pallas import aggregate_8_pallas
 
         return aggregate_8_pallas(C, int(P1), int(P2), num_paths=num_paths)
@@ -247,7 +250,11 @@ def _aggregate_8(C, P1, P2, backend: str = "scan", num_paths: int = 8):
         jnp.stack([C, jnp.flip(C, 0)]), P1, P2, with_diagonals=num_paths >= 8
     )
     S = Sv[0] + jnp.flip(Sv[1], 0)
+    if num_paths < 3:
+        return S
     Sh = _aggregate_horiz(jnp.stack([C, jnp.flip(C, 1)]), P1, P2)
+    if num_paths == 3:
+        return S + Sh[0]
     return S + Sh[0] + jnp.flip(Sh[1], 1)
 
 

@@ -96,7 +96,7 @@ class TestAlignedBoxPack:
 
 
 class TestReducePack:
-    @pytest.mark.parametrize("num_paths", [4, 8])
+    @pytest.mark.parametrize("num_paths", [2, 3, 4, 8])
     def test_exact_vs_scan(self, num_paths):
         left, right = _rand_scene(P, H, W, D, seed=4)
         s = _rand_shift_map(P, H, W, D, K, G, seed=5)

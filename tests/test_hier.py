@@ -196,3 +196,41 @@ class TestHierFastAgreement:
         # Measured epe 0.261 with HIER_FAST coarse_lr=-1 (0.216 with the
         # coarse LR on); agreement 0.9846 vs 0.9834. Bar: <= 1 px.
         self._run(bigjump_pair(), 0.978, 0.3)
+
+
+class TestHier3PathAgreement:
+    """HIER_FAST with num_paths=3 (vertical pair + L->R) — the bench.py
+    `hier16x3` mode. The banded prior already encodes the global
+    structure, so dropping the R->L full-res path costs ~0.2% agreement
+    for +7% throughput (chip A/B benchmarks/hier_ab_r3i.py: 188.3 ->
+    201.6 Mpx/s). Measured 2026-08-18 (CPU scan backend, D=128,
+    240x512): ramp 0.9830, occlusion 0.9891, repeated texture 1.0000,
+    50-px-jump 0.9804 (benchmarks/paths2_agreement2.py). num_paths=2
+    measured 0.9797 on the jump scene — below the 0.98 BASELINE bar —
+    and is supported but NOT a bench candidate."""
+
+    def _run(self, pair, thresh, epe_max):
+        from stereo_vision_tpu.stereo.hier import HIER_FAST
+
+        left, right, _ = pair
+        ref = _cv_full(StereoSGBMParams(**FULL), left, right)
+        p = StereoSGBMParams(num_paths=3, **FULL)
+        mine = np.asarray(
+            stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, HIER_FAST)
+        )
+        agree, epe, overlap = agreement(mine, ref)
+        assert agree >= thresh, (agree, epe, overlap)
+        assert epe <= epe_max, epe
+
+    def test_ramp_box(self):
+        self._run(synthetic_pair(h=240, w=512, max_disp=64, seed=0), 0.98, 0.25)
+
+    def test_occlusion(self):
+        self._run(occlusion_pair(h=240, w=512, maxd=64, seed=10), 0.983, 0.15)
+
+    def test_repeated_texture(self):
+        self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), 0.995, 0.02)
+
+    def test_big_jump(self):
+        # Measured 0.9804 / epe 0.343; bar <= 1 px.
+        self._run(bigjump_pair(), 0.978, 0.45)
