@@ -286,12 +286,14 @@ def config5() -> dict:
     # Banded hierarchical SGBM (the bench.py headline mode, agreement-
     # gated there) at native 1080p: one lane-packed program per 8 frames
     # (HIER_FAST band 16, selected by B=8 in batched_stereo_pipeline).
+    # num_paths=3 matches bench.py's hier16x3 headline (per-scene pins
+    # in tests/test_hier.py::TestHier3PathAgreement).
     hier_mpx, hier_fps = measure(
         "sgbm_hier",
         StereoSGBMParams(
             num_disparities=128, block_size=5, uniqueness_ratio=10,
             disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
-            num_paths=4,
+            num_paths=3,
         ),
         8,
     )
