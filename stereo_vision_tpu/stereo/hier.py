@@ -601,15 +601,19 @@ def stereo_sgbm_hier_batch(
 
     backend = params.backend
     if backend == "auto":
-        # Full-res assemble LR: the XLA static-shift chains. The fused
-        # Pallas kernel is bit-identical (tests/test_lr_pallas.py) but a
-        # WASH at 720p map sizes (hier_ab_r3d/_r3d2 A/Bs, both directions
-        # within run noise; the earlier recorded 164->169 "win" was an
-        # invalid A/B — _LR_PALLAS silently forced scan in both arms).
-        # It DOES win at the 16x-smaller coarse maps (clr_backend above).
-        backend = "scan"
+        # Full-res assemble: on TPU, row-stack the P frames and run the
+        # Pallas LR kernel ONCE over the (P*H, Wv) maps (each lane is an
+        # independent row, so frame mixing inside a 128-row block is
+        # exact). Chip A/B hier_ab_r3k (2026-08-18, hier16x3): scan
+        # per-frame 200.3 / pallas per-frame 201.3 (wash, as r3d found) /
+        # scan row-stacked 141.7 (the r3b chain-lengthening loss) /
+        # pallas row-stacked 209.6-211.4 — the ONLY winning combination:
+        # row-stacking is what amortizes the kernel dispatch, and the
+        # kernel is what keeps the select work off the XLA chain.
+        backend = "pallas" if on_tpu and not interpret else "scan"
     frames = _assemble_disparity_pack(
-        list(stats), s[:, :, D:], W, D, D, B, params, backend
+        list(stats), s[:, :, D:], W, D, D, B, params, backend,
+        row_stack=(backend == "pallas"),
     )
     if params.speckle_window_size > 0:
         # Speckle stays per-frame, NOT batched: speckle_filter accepts

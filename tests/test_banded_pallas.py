@@ -198,6 +198,43 @@ class TestHierBatch:
             )
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
 
+    def test_pallas_rowstack_assemble_matches_scan(self, monkeypatch):
+        """The TPU default assemble (backend 'pallas' + row-stacked LR —
+        ONE lr_fail_pallas dispatch over the (P*H, Wv) maps, hier_ab_r3k)
+        must be bit-identical to the per-frame scan assemble. Forces the
+        pallas branch on CPU via backend='pallas' with the LR kernel in
+        interpret mode (the test_lr_pallas pattern)."""
+        import functools as ft
+
+        import stereo_vision_tpu.stereo.lr_pallas as lp
+        from stereo_vision_tpu.stereo import hier
+        from stereo_vision_tpu.stereo.hier import (
+            HIER_FAST,
+            stereo_sgbm_hier_batch,
+        )
+
+        monkeypatch.setattr(
+            lp, "lr_fail_pallas",
+            ft.partial(lp.lr_fail_pallas.__wrapped__, interpret=True),
+        )
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(8, Hh, Wh, 128, seed=9)
+        base = dict(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        got = np.asarray(stereo_sgbm_hier_batch(
+            left, right, StereoSGBMParams(backend="pallas", **base),
+            HIER_FAST, interpret=True,
+        ))
+        want = np.asarray(stereo_sgbm_hier_batch(
+            left, right, StereoSGBMParams(backend="scan", **base),
+            HIER_FAST, interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)
+        assert hier._PACK_ASSEMBLE is False  # scan arm stayed per-frame
+
 
 class TestTile4Realign:
     """The reduce kernels re-align carries at shift-map tile boundaries.
