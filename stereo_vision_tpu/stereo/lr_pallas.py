@@ -138,12 +138,24 @@ def lr_fail_pallas(
         _lr_kernel, W, Wvp, ndisp, mindisp, minX1, int(max_diff)
     )
     spec = lambda w: pl.BlockSpec((w, 128), lambda j: (0, j), memory_space=pltpu.VMEM)
+    # Width-scaled scoped-VMEM cap (the sgm_pallas._horiz_vmem_limit
+    # pattern): double-buffered (Wfull/Wvp, 128) i32 blocks plus ~8 live
+    # (Wfull, 128) kernel temporaries (pack/best/packed/disp2/d2p/v_f/
+    # v_c). The 16 MB compiler default fits 720p but OOMs at 1080p
+    # ("scoped allocation 18.08M ... limit 16.00M", parity_bench
+    # config #5 with the row-stacked assemble).
+    blocks = 2 * (2 * Wfull + 3 * Wvp) * 128 * 4
+    temps = 8 * Wfull * 128 * 4
+    want = int((blocks + temps) * 1.5) + 2 * 1024 * 1024
     failT = pl.pallas_call(
         kern,
         grid=(Hp // 128,),
         in_specs=[spec(Wfull), spec(Wfull), spec(Wvp), spec(Wvp)],
         out_specs=spec(Wvp),
         out_shape=jax.ShapeDtypeStruct((Wvp, Hp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * 1024 * 1024, max(16 * 1024 * 1024, want))
+        ),
         interpret=interpret,
     )(packT, bestT, dfT, dcT)
     return failT[:Wv, :H].T.astype(bool)
