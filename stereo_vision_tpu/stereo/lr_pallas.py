@@ -29,18 +29,22 @@ _OOB = -(1 << 10)
 
 def _lr_kernel(
     W, Wv, ndisp, mindisp, minX1, max_diff,
-    pack_ref, best_ref, df_ref, dc_ref, fail_ref,
+    pack_ref, df_ref, dc_ref, fail_ref,
 ):
     """One 128-row lane block, transposed: refs are (sublanes=x, lanes=y).
 
-    pack_ref/best_ref: (W + maxD, 128) int32 full-frame-x arrays
-    (sentinel / -1 outside the valid region). df_ref/dc_ref: (Wv, 128)
-    floor/ceil disparity per valid left pixel. fail_ref out: (Wv, 128)
-    int32 1 where the cv2 LR rule invalidates the pixel.
+    pack_ref: (W + maxD, 128) int32 full-frame-x packed (cost, winner)
+    array (sentinel outside the valid region) — the winner rides the low
+    11 bits, so no separate best array is shipped. df_ref/dc_ref:
+    (Wv, 128) floor/ceil disparity per valid left pixel. fail_ref out:
+    (Wv, 128) int32 1 where the cv2 LR rule invalidates the pixel.
     """
     maxD = mindisp + ndisp
     pack = pack_ref[...]
-    best = best_ref[...]
+    # Winner lane extracted from the pack's low bits (sentinel positions
+    # extract 0, which can collide with d + mindisp == 0 — harmless: the
+    # guarded value sl_p IS the sentinel there, a no-op under min).
+    band = jnp.bitwise_and(pack, 2047)
 
     # disp2[x2] = min-cost packed value among left pixels x2 + d whose WTA
     # winner is exactly d (cv2's projection; min is lexicographic in
@@ -49,8 +53,8 @@ def _lr_kernel(
     for d in range(ndisp):
         off = d + mindisp
         sl_p = pack[off : off + W]
-        sl_b = best[off : off + W]
-        packed = jnp.minimum(packed, jnp.where(sl_b == d, sl_p, _SENTINEL))
+        sl_b = band[off : off + W]
+        packed = jnp.minimum(packed, jnp.where(sl_b == off, sl_p, _SENTINEL))
     disp2 = jnp.where(
         packed >= _SENTINEL, jnp.int32(_OOB), jnp.bitwise_and(packed, 2047)
     )
@@ -113,21 +117,17 @@ def lr_fail_pallas(
     pack = minS * 2048 + (best + mindisp)
     pack_full = jnp.full((H, W + maxD), _SENTINEL, jnp.int32)
     pack_full = jax.lax.dynamic_update_slice(pack_full, pack, (0, minX1))
-    best_full = jnp.full((H, W + maxD), -1, jnp.int32)
-    best_full = jax.lax.dynamic_update_slice(best_full, best, (0, minX1))
 
     Hp = ((H + 127) // 128) * 128
     padh = lambda a, fill: jnp.pad(a, ((0, Hp - H), (0, 0)), constant_values=fill)
     # Transpose to (x, y): all in-kernel shifts become sublane slices.
     packT = padh(pack_full, _SENTINEL).T
-    bestT = padh(best_full, -1).T
     dfT = padh(d_f, 0).T
     dcT = padh(d_c, 0).T
     Wfull = W + maxD
     if Wfull % 8:
         extra = 8 - Wfull % 8
         packT = jnp.pad(packT, ((0, extra), (0, 0)), constant_values=_SENTINEL)
-        bestT = jnp.pad(bestT, ((0, extra), (0, 0)), constant_values=-1)
         Wfull += extra
     Wvp = ((Wv + 7) // 8) * 8
     if Wvp != Wv:
@@ -140,22 +140,22 @@ def lr_fail_pallas(
     spec = lambda w: pl.BlockSpec((w, 128), lambda j: (0, j), memory_space=pltpu.VMEM)
     # Width-scaled scoped-VMEM cap (the sgm_pallas._horiz_vmem_limit
     # pattern): double-buffered (Wfull/Wvp, 128) i32 blocks plus ~8 live
-    # (Wfull, 128) kernel temporaries (pack/best/packed/disp2/d2p/v_f/
+    # (Wfull, 128) kernel temporaries (pack/band/packed/disp2/d2p/v_f/
     # v_c). The 16 MB compiler default fits 720p but OOMs at 1080p
     # ("scoped allocation 18.08M ... limit 16.00M", parity_bench
     # config #5 with the row-stacked assemble).
-    blocks = 2 * (2 * Wfull + 3 * Wvp) * 128 * 4
+    blocks = 2 * (Wfull + 3 * Wvp) * 128 * 4
     temps = 8 * Wfull * 128 * 4
     want = int((blocks + temps) * 1.5) + 2 * 1024 * 1024
     failT = pl.pallas_call(
         kern,
         grid=(Hp // 128,),
-        in_specs=[spec(Wfull), spec(Wfull), spec(Wvp), spec(Wvp)],
+        in_specs=[spec(Wfull), spec(Wvp), spec(Wvp)],
         out_specs=spec(Wvp),
         out_shape=jax.ShapeDtypeStruct((Wvp, Hp), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(100 * 1024 * 1024, max(16 * 1024 * 1024, want))
         ),
         interpret=interpret,
-    )(packT, bestT, dfT, dcT)
+    )(packT, dfT, dcT)
     return failT[:Wv, :H].T.astype(bool)
