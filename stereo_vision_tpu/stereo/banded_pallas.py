@@ -804,6 +804,83 @@ def _wta_kernel(P, K, uniq, *refs):
     out_ref[0] = out
 
 
+def _wta_fused_kernel(P, K, uniq, *refs):
+    """Fused WTA + subpixel + LR-input packing, 8 rows per grid step.
+
+    Emits ONE dense int32 (1, W, 128) block per 8 input rows, lane
+    j = (2*r + stat)*P + b for row-in-block r, frame b:
+      stat 0: pack   = minS*2048 + best_abs  (lr_fail_pallas projection
+              input, mindisp == 0)
+      stat 1: du     = disp16 + 32768*unique_ok
+    replacing the 6-stat 48-of-128-lane f32 volume plus the XLA
+    subpixel / pack-build / floor-ceil passes (round 3m,
+    docs/sgbm_roofline.md). Requires K == 16: the 8 rows x 2 stats fill
+    the 16 lane groups exactly, and the group-replicated stat values can
+    be placed by pure lane selects (no lane movement), the same trick as
+    the 6-stat output.
+
+    cv2's subpixel C-division (sgbm.subpixel_disp16 / _c_div semantics)
+    is computed EXACTLY without integer division: the quotient of
+    ((sm - sp)*16 + denom2) by 2*denom2 lies in [-8, 8] (num is within
+    [-15, 17]*denom2), so 8 compare-accumulates on |num| give
+    floor(|num|/den) == trunc, and the sign is re-applied with a select.
+    All f32 arithmetic here is exact: every operand is an integer below
+    2^24. best_abs needs the shift map: s arrives as a (8, W, P) block
+    and is broadcast to each frame's lanes by one 0/1 MXU matmul
+    (s <= 2047 exceeds bf16's integer range past 256, so HIGHEST).
+    """
+    *in_refs, s_ref, out_ref = refs
+    _, W, _ = in_refs[0].shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
+    rowl = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lanel = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    A = (rowl % P == lanel % P).astype(jnp.float32)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    M = (lanep % P == rowp).astype(jnp.float32)
+    gsum = lambda m: jax.lax.dot(m, A, precision=jax.lax.Precision.HIGHEST)
+    ds = (lane // P).astype(jnp.float32)
+    slot = lane // P
+
+    out = jnp.zeros((W, 128), jnp.int32)
+    for r in range(8):
+        S = in_refs[0][r].astype(jnp.float32)
+        for ref in in_refs[1:]:
+            S = S + ref[r].astype(jnp.float32)
+        minS = _rot_min(S, P, K)
+        best = _rot_min(jnp.where(S == minS, ds, float(K)), P, K)
+        if uniq > 0:
+            offend = (
+                (minS * (100.0 + uniq) > S * 100.0) & (jnp.abs(ds - best) > 1.0)
+            ).astype(jnp.float32)
+            uok_i = (jax.lax.dot(offend, A) < 0.5).astype(jnp.int32)
+        else:
+            uok_i = jnp.ones((W, 128), jnp.int32)
+        d0 = jnp.clip(best, 1.0, float(K - 2))
+        sel = lambda tgt: gsum(jnp.where(ds == tgt, S, 0.0))
+        sm, s0v, sp = sel(d0 - 1.0), sel(d0), sel(d0 + 1.0)
+        denom2 = jnp.maximum(sm + sp - 2.0 * s0v, 1.0)
+        den = 2.0 * denom2
+        num = (sm - sp) * 16.0 + denom2
+        anum = jnp.abs(num)
+        qa = jnp.zeros_like(anum)
+        for c in range(1, 9):
+            qa = qa + (anum >= float(c) * den).astype(jnp.float32)
+        q = jnp.where(num < 0.0, -qa, qa)
+        sub16 = jnp.where(
+            (best > 0.0) & (best < float(K - 1)), best * 16.0 + q, best * 16.0
+        )
+        s_l = jax.lax.dot(
+            s_ref[r].astype(jnp.float32), M,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (W, 128): frame b's shift replicated on its lanes
+        pack = minS.astype(jnp.int32) * 2048 + (best + s_l).astype(jnp.int32)
+        du = (sub16 + 16.0 * s_l).astype(jnp.int32) + uok_i * 32768
+        out = jnp.where(slot == 2 * r, pack, out)
+        out = jnp.where(slot == 2 * r + 1, du, out)
+    out_ref[0] = out
+
+
 # ---------------------------------------------------------------------------
 # assembled packed reduce (aggregation + WTA)
 # ---------------------------------------------------------------------------
@@ -813,7 +890,7 @@ def _wta_kernel(P, K, uniq, *refs):
     jax.jit,
     static_argnames=(
         "band", "granularity", "P1", "P2", "uniq", "num_paths", "tile_px",
-        "cost_bound", "interpret",
+        "cost_bound", "fused_out", "interpret",
     ),
 )
 def banded_reduce_pack(
@@ -827,6 +904,7 @@ def banded_reduce_pack(
     num_paths: int = 8,
     tile_px: int = 8,
     cost_bound: int = 93 * 121,
+    fused_out: bool = False,
     interpret: bool = False,
 ):
     """Packed banded aggregation + WTA.
@@ -840,7 +918,10 @@ def banded_reduce_pack(
         direction (hier tile*coarse_factor == 4, e.g. HIER_FAST).
 
     Returns six (P, H, W) float32 stat maps:
-      (minS, best_k, sm, s0, sp, unique_ok).
+      (minS, best_k, sm, s0, sp, unique_ok) — or, with ``fused_out``
+    (requires band == 16, P == 8), TWO (P, H, W) int32 maps
+    (pack, disp16 + 32768*unique_ok) from the fused WTA kernel
+    (see _wta_fused_kernel; consumed by hier._assemble_fused).
     """
     H, W0, _ = C.shape
     P = s.shape[0]
@@ -1002,6 +1083,36 @@ def banded_reduce_pack(
         vols.append(horiz(False))
     if num_paths >= 4:
         vols.append(horiz(True))
+
+    if fused_out:
+        # Fused WTA path: 8 rows per grid step over the PADDED (Hp) rows
+        # (the pad rows' garbage stats are sliced away after unpack), one
+        # dense int32 output block per step. See _wta_fused_kernel.
+        assert K == 16 and P == 8, "fused WTA output requires band 16"
+        sT = jnp.transpose(s, (1, 2, 0))  # (Hp, W, P): row-block x P
+        spec_v = pl.BlockSpec((8, W, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        spec_s = pl.BlockSpec((8, W, P), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec((1, W, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        # Width-scaled scoped-VMEM cap: double-buffered (8, W, 128)
+        # blocks per direction volume + ~18 (W, 128) f32 temporaries.
+        blocks = 2 * (len(vols) * 8 * 128 + 8 * P + 128) * W * 4
+        want = int((blocks + 18 * W * 128 * 4) * 1.5)
+        out = pl.pallas_call(
+            functools.partial(_wta_fused_kernel, P, K, float(uniq)),
+            grid=(Hp // 8,),
+            in_specs=[spec_v] * len(vols) + [spec_s],
+            out_specs=spec_o,
+            out_shape=jax.ShapeDtypeStruct((Hp // 8, W, 128), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(110 * 1024 * 1024, max(48 * 1024 * 1024, want))
+            ),
+            interpret=interpret,
+        )(*vols, sT)
+        # lane j = (2r + stat)*P + b -> (stat, frame, row, x), ONE pass.
+        u = out[:, :W0].reshape(Hp // 8, W0, 8, 2, P)
+        u = jnp.transpose(u, (3, 4, 0, 2, 1)).reshape(2, P, Hp, W0)
+        return u[0, :, :H], u[1, :, :H]
+
     vols = [a[:H] for a in vols]
 
     spec_in = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -1078,6 +1189,7 @@ def banded_stats_pack(
     min_x: int,
     stride: int = 1,
     tile_px: int = 8,
+    fused: bool = False,
     interpret: bool = False,
 ):
     """Packed banded core: P frames end-to-end through the Pallas
@@ -1088,7 +1200,8 @@ def banded_stats_pack(
       left, right: (P, H, W) int images; s: (P, H, W) int32 shift maps.
 
     Returns six (P, H, W - min_x) int32/bool maps:
-      (minS, best_k, sm, s0, sp, unique_ok).
+      (minS, best_k, sm, s0, sp, unique_ok) — or, with ``fused``,
+    the TWO fused-WTA int32 maps (see banded_reduce_pack fused_out).
     """
     P, H, W = left.shape
     D = params.num_disparities
@@ -1118,11 +1231,14 @@ def banded_stats_pack(
 
     Cv = C if x0 + out_off == min_x else C[:, min_x:, :]
     sv = s[:, :, min_x:]
-    minS, best, sm, s0, sp, uok = banded_reduce_pack(
+    outs = banded_reduce_pack(
         Cv, sv, band, granularity, params.P1, params.P2,
         params.uniqueness_ratio, num_paths=params.num_paths,
         tile_px=tile_px, cost_bound=93 * params.block_size ** 2,
-        interpret=interpret,
+        fused_out=fused, interpret=interpret,
     )
+    if fused:
+        return outs
+    minS, best, sm, s0, sp, uok = outs
     c = lambda a: a.astype(jnp.int32)
     return c(minS), c(best), c(sm), c(s0), c(sp), uok > 0.5

@@ -381,6 +381,52 @@ _COARSE_PACK_ASSEMBLE = False
 # (banded_pallas.downsample_box_pack, bit-identical to _downsample_box).
 _DS_PALLAS = True
 
+# A/B toggle: fused WTA output for the full-res stage (band 16 only) —
+# the WTA kernel emits (pack, disp16+uok) int32 directly (subpixel
+# parabola, absolute-disparity add and LR pack-build all in-kernel; see
+# banded_pallas._wta_fused_kernel), and the LR kernel derives floor/
+# ceil from disp16. Replaces the 48-of-128-lane 6-stat f32 volume
+# (424 MB/720p-pack written + re-read) with a dense 106 MB int32 one
+# and removes the XLA subpixel/pack/floor-ceil passes (round 3m).
+#
+# REJECTED by on-chip A/B (benchmarks/hier_ab_r3m.py, 2026-08-19):
+# bit-exact vs the 6-stat assemble but 204 -> 160 Mpx/s — the fused
+# kernel adds ~11 MXU matmuls + an 8-step compare-accumulate division
+# per 8-row grid step to the ALREADY bandwidth-bound WTA dispatch,
+# and the r3b pass-count rule does not apply to the saved XLA glue
+# (those passes ran on the small (P, H, Wv) maps, not the volume).
+# Kept as a tested capability (test_fused_wta_assemble_matches_scan).
+_FUSED_STATS = False
+
+
+def _assemble_fused(pack, du, W, min_x, params, interpret=False):
+    """Fused-WTA stats -> (P, H, W) disparities (pre-speckle).
+
+    pack, du: the two (P, H, Wv) int32 maps from banded_stats_pack
+    (fused=True). Row-stacks the P frames (every op is row-local) and
+    runs ONE lr_fail_pallas_packed dispatch, like the r3k row-stacked
+    assemble. Bit-identical to _assemble_disparity_pack on the same
+    stats (pinned by tests/test_banded_pallas.py).
+    """
+    from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas_packed
+
+    P, H, Wv = pack.shape
+    pflat = pack.reshape(P * H, Wv)
+    dflat = du.reshape(P * H, Wv)
+    d16 = jnp.bitwise_and(dflat, 32767)
+    valid = dflat >= 32768  # the unique_ok bit
+    if params.disp12_max_diff >= 0:
+        fail = lr_fail_pallas_packed(
+            pflat, d16, W=W, ndisp=min_x, mindisp=0,
+            max_diff=params.disp12_max_diff, interpret=interpret,
+        )
+        valid = valid & ~fail
+    disp = jnp.where(valid, d16.astype(jnp.float32) / 16.0, jnp.float32(-1.0))
+    full = jnp.full((P * H, W), -1.0, jnp.float32)
+    full = jax.lax.dynamic_update_slice(full, disp, (0, min_x))
+    return full.reshape(P, H, W)
+
+
 # LR backend for the COARSE assemble in stereo_sgbm_hier_batch ("auto"
 # resolves to the fused Pallas kernel on TPU). A/B on the chip
 # (benchmarks/hier_ab_r3d.py + _r3d2.py, 2026-08-18): the coarse scan-LR
@@ -594,10 +640,6 @@ def stereo_sgbm_hier_batch(
     tile_px = f * hp.tile if f * hp.tile == 4 else 8
     assert (f * hp.tile) % 8 == 0 or f * hp.tile == 4, \
         f"unsupported shift tile {f * hp.tile}px (need 4 or a multiple of 8)"
-    stats = banded_stats_pack(
-        left, right, s, params, B, G, min_x=D, tile_px=tile_px,
-        interpret=interpret,
-    )
 
     backend = params.backend
     if backend == "auto":
@@ -611,10 +653,28 @@ def stereo_sgbm_hier_batch(
         # row-stacking is what amortizes the kernel dispatch, and the
         # kernel is what keeps the select work off the XLA chain.
         backend = "pallas" if on_tpu and not interpret else "scan"
-    frames = _assemble_disparity_pack(
-        list(stats), s[:, :, D:], W, D, D, B, params, backend,
-        row_stack=(backend == "pallas"),
+
+    fused = (
+        _FUSED_STATS and backend == "pallas" and B == 16 and P == 8
+        and params.min_disparity == 0
     )
+    if fused:
+        # Round-3m fused path: WTA emits (pack, disp16+uok) int32
+        # directly; subpixel/pack-build/floor-ceil never touch XLA.
+        pack, du = banded_stats_pack(
+            left, right, s, params, B, G, min_x=D, tile_px=tile_px,
+            fused=True, interpret=interpret,
+        )
+        frames = _assemble_fused(pack, du, W, D, params, interpret=interpret)
+    else:
+        stats = banded_stats_pack(
+            left, right, s, params, B, G, min_x=D, tile_px=tile_px,
+            interpret=interpret,
+        )
+        frames = _assemble_disparity_pack(
+            list(stats), s[:, :, D:], W, D, D, B, params, backend,
+            row_stack=(backend == "pallas"),
+        )
     if params.speckle_window_size > 0:
         # Speckle stays per-frame, NOT batched: speckle_filter accepts
         # (P, H, W) but the batched form measured 12% SLOWER on the chip

@@ -28,8 +28,7 @@ _OOB = -(1 << 10)
 
 
 def _lr_kernel(
-    W, Wv, ndisp, mindisp, minX1, max_diff,
-    pack_ref, df_ref, dc_ref, fail_ref,
+    W, Wv, ndisp, mindisp, minX1, max_diff, *refs,
 ):
     """One 128-row lane block, transposed: refs are (sublanes=x, lanes=y).
 
@@ -38,7 +37,18 @@ def _lr_kernel(
     11 bits, so no separate best array is shipped. df_ref/dc_ref:
     (Wv, 128) floor/ceil disparity per valid left pixel. fail_ref out:
     (Wv, 128) int32 1 where the cv2 LR rule invalidates the pixel.
+
+    Three-ref form (the fused-WTA path): the middle ref is the 16x
+    fixed-point disparity d16 (>= 0) instead of df/dc, and floor/ceil
+    are derived in-kernel: floor(d16/16) == d16 >> 4 and
+    ceil == (d16 + 15) >> 4 exactly for non-negative d16 — one fewer
+    (Wv, H) transpose shipped through HBM.
     """
+    if len(refs) == 3:
+        pack_ref, d16_ref, fail_ref = refs
+        df_ref = dc_ref = None
+    else:
+        pack_ref, df_ref, dc_ref, fail_ref = refs
     maxD = mindisp + ndisp
     pack = pack_ref[...]
     # Winner lane extracted from the pack's low bits (sentinel positions
@@ -71,8 +81,13 @@ def _lr_kernel(
         ],
         axis=0,
     )
-    d_f = df_ref[...]
-    d_c = dc_ref[...]
+    if df_ref is None:
+        d16 = d16_ref[...]
+        d_f = jnp.right_shift(d16, 4)
+        d_c = jnp.right_shift(d16 + 15, 4)
+    else:
+        d_f = df_ref[...]
+        d_c = dc_ref[...]
     v_f = jnp.full((Wv, 128), _OOB, jnp.int32)
     v_c = jnp.full((Wv, 128), _OOB, jnp.int32)
     for dd in range(mindisp - 1, maxD + 1):
@@ -158,4 +173,70 @@ def lr_fail_pallas(
         ),
         interpret=interpret,
     )(packT, dfT, dcT)
+    return failT[:Wv, :H].T.astype(bool)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "ndisp", "mindisp", "max_diff", "interpret"),
+)
+def lr_fail_pallas_packed(
+    pack: jnp.ndarray,
+    d16: jnp.ndarray,
+    W: int,
+    ndisp: int,
+    mindisp: int,
+    max_diff: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(H, Wv) LR-failure mask from the fused-WTA outputs.
+
+    Same semantics as :func:`lr_fail_pallas`, but takes the kernel-built
+    ``pack`` (minS*2048 + best_abs + mindisp, straight from
+    banded_pallas._wta_fused_kernel) and the 16x fixed-point disparity
+    ``d16`` — floor/ceil derive in-kernel, so only TWO maps transpose
+    into the (x, y) lane layout instead of three, and the XLA pack-build
+    pass disappears.
+    """
+    H, Wv = pack.shape
+    maxD = mindisp + ndisp
+    minX1 = max(maxD, 0)
+    assert ndisp + abs(mindisp) < (1 << 11), "disparity exceeds pack field"
+    assert mindisp >= 0
+
+    pack_full = jnp.full((H, W + maxD), _SENTINEL, jnp.int32)
+    pack_full = jax.lax.dynamic_update_slice(pack_full, pack, (0, minX1))
+
+    Hp = ((H + 127) // 128) * 128
+    padh = lambda a, fill: jnp.pad(a, ((0, Hp - H), (0, 0)), constant_values=fill)
+    packT = padh(pack_full, _SENTINEL).T
+    dT = padh(d16, 0).T
+    Wfull = W + maxD
+    if Wfull % 8:
+        extra = 8 - Wfull % 8
+        packT = jnp.pad(packT, ((0, extra), (0, 0)), constant_values=_SENTINEL)
+        Wfull += extra
+    Wvp = ((Wv + 7) // 8) * 8
+    if Wvp != Wv:
+        dT = jnp.pad(dT, ((0, Wvp - Wv), (0, 0)))
+
+    kern = functools.partial(
+        _lr_kernel, W, Wvp, ndisp, mindisp, minX1, int(max_diff)
+    )
+    spec = lambda w: pl.BlockSpec((w, 128), lambda j: (0, j), memory_space=pltpu.VMEM)
+    # Width-scaled scoped-VMEM cap (see lr_fail_pallas).
+    blocks = 2 * (Wfull + 2 * Wvp) * 128 * 4
+    temps = 8 * Wfull * 128 * 4
+    want = int((blocks + temps) * 1.5) + 2 * 1024 * 1024
+    failT = pl.pallas_call(
+        kern,
+        grid=(Hp // 128,),
+        in_specs=[spec(Wfull), spec(Wvp)],
+        out_specs=spec(Wvp),
+        out_shape=jax.ShapeDtypeStruct((Wvp, Hp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * 1024 * 1024, max(16 * 1024 * 1024, want))
+        ),
+        interpret=interpret,
+    )(packT, dT)
     return failT[:Wv, :H].T.astype(bool)

@@ -217,6 +217,9 @@ class TestHierBatch:
             lp, "lr_fail_pallas",
             ft.partial(lp.lr_fail_pallas.__wrapped__, interpret=True),
         )
+        # Pin the row-stacked 6-stat assemble (the TPU default; the
+        # gated-off round-3m fused path has its own test below).
+        monkeypatch.setattr(hier, "_FUSED_STATS", False)
         Hh, Wh = 48, 192
         left, right = _rand_scene(8, Hh, Wh, 128, seed=9)
         base = dict(
@@ -234,6 +237,57 @@ class TestHierBatch:
         ))
         np.testing.assert_array_equal(got, want)
         assert hier._PACK_ASSEMBLE is False  # scan arm stayed per-frame
+
+    @pytest.mark.parametrize("num_paths", [3, 4])
+    def test_fused_wta_assemble_matches_scan(self, num_paths, monkeypatch):
+        """The round-3m fused path (band 16 + backend 'pallas': WTA
+        emits pack/disp16+uok int32 in-kernel — subpixel C-division via
+        compare-accumulates, MXU shift broadcast — and the packed LR
+        kernel derives floor/ceil from disp16) must be bit-identical to
+        the per-frame scan assemble. Gated OFF by default (on-chip A/B
+        measured 204 -> 160 Mpx/s, see hier._FUSED_STATS); this test
+        keeps the capability exact."""
+        from stereo_vision_tpu.stereo import hier
+        from stereo_vision_tpu.stereo.hier import (
+            HIER_FAST,
+            stereo_sgbm_hier_batch,
+        )
+
+        monkeypatch.setattr(hier, "_FUSED_STATS", True)
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(8, Hh, Wh, 128, seed=21)
+        base = dict(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=num_paths,
+        )
+        got = np.asarray(stereo_sgbm_hier_batch(
+            left, right, StereoSGBMParams(backend="pallas", **base),
+            HIER_FAST, interpret=True,
+        ))
+        want = np.asarray(stereo_sgbm_hier_batch(
+            left, right, StereoSGBMParams(backend="scan", **base),
+            HIER_FAST, interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestFusedSubpixelDivision:
+    def test_compare_count_division_exhaustive(self):
+        """The fused WTA kernel computes cv2's subpixel C-division
+        trunc(((sm-sp)*16 + denom2) / (2*denom2)) with 8 compare-
+        accumulates on |num| (quotient is in [-8, 8]). Exhaustive check
+        of the formula against true C division over denom2 1..96 and the
+        FULL reachable num range [-15*denom2, 17*denom2]."""
+        for denom2 in range(1, 97):
+            num = np.arange(-15 * denom2, 17 * denom2 + 1, dtype=np.int64)
+            den = 2 * denom2
+            want = np.sign(num) * (np.abs(num) // den)  # C trunc division
+            qa = np.zeros_like(num)
+            for c in range(1, 9):
+                qa += (np.abs(num) >= c * den).astype(np.int64)
+            got = np.where(num < 0, -qa, qa)
+            np.testing.assert_array_equal(got, want, err_msg=f"denom2={denom2}")
 
 
 class TestTile4Realign:
