@@ -299,11 +299,21 @@ def banded_stats_scan(
     G: int,
     min_x: int,
     stride: int = 1,
+    sub: bool = False,
 ):
     """Banded core (scan backend): cost + aggregation + WTA on columns
     x >= min_x. Returns (minS, best_k, sm, s0, sp, unique_ok) maps of
-    shape (H, W - min_x); absolute disparity = stride*best_k + s[:, min_x:]."""
+    shape (H, W - min_x); absolute disparity = stride*best_k + s[:, min_x:].
+    With ``sub``, returns (minS, best_k, sub16, unique_ok) instead, with
+    the band-relative subpixel parabola (sgbm.subpixel_disp16 in lane
+    units) applied — the contract of the Pallas kernels'
+    banded_stats_pack(sub=True)."""
     C = banded_cost_volume(left, right, s, params, band, G, stride)[:, min_x:, :]
     sv = s[:, min_x:]
     S = aggregate_banded_scan(C, sv, G, params.P1, params.P2, params.num_paths)
-    return wta_scan(S, band, params.uniqueness_ratio)
+    minS, best, sm, s0, sp, uok = wta_scan(S, band, params.uniqueness_ratio)
+    if sub:
+        from stereo_vision_tpu.stereo.sgbm import subpixel_disp16
+
+        return minS, best, subpixel_disp16(best, sm, s0, sp, band), uok
+    return minS, best, sm, s0, sp, uok

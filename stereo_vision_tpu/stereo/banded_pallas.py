@@ -754,11 +754,20 @@ def _horiz_kernel(P, K, G, P1, P2, reverse, mid_realign, c_ref, dh_ref, s_ref, L
 _VOL_INT16 = False
 
 
-def _wta_kernel(P, K, uniq, *refs):
+def _wta_kernel(P, K, uniq, sub, *refs):
     """Stats from the in-kernel sum of the 2-4 direction volumes.
 
     Output block (R, W, 32): lane j = P*stat + b, stats
     [minS, best, sm, s0, sp, uok]; P <= 4 packs at most 24 used lanes.
+    With ``sub`` the subpixel parabola finishes IN-KERNEL on the
+    group-replicated samples (which are computed here anyway) and the
+    stats shrink to [minS, best, sub16, uok] — the caller's XLA subpixel
+    pass (whose int32 division alone was 0.48 ms/pack, r3n trace) and a
+    third of the unpack traffic disappear. sub16 is band-relative in
+    LANE units x16, exactly sgbm.subpixel_disp16(best, sm, s0, sp, K):
+    the C division by 2*denom2 has quotient magnitude <= 8 (|sm - sp| <=
+    denom2 since s0 is the min), so 8 compare-accumulates on |num| give
+    it exactly; all operands are integers < 2^24, exact in f32.
 
     All lane concats/slices run on 2-D (W, 128) values — Mosaic's vector
     layout pass aborts on lane slices of 3-D values (the proven sgm
@@ -793,7 +802,21 @@ def _wta_kernel(P, K, uniq, *refs):
         uok = jnp.ones_like(minS)
     d0 = jnp.clip(best, 1.0, float(K - 2))
     sel = lambda tgt: gsum(jnp.where(ds == tgt, S, 0.0))
-    stats = [minS, best, sel(d0 - 1.0), sel(d0), sel(d0 + 1.0), uok]
+    sm, s0v, sp = sel(d0 - 1.0), sel(d0), sel(d0 + 1.0)
+    if sub:
+        denom2 = jnp.maximum(sm + sp - 2.0 * s0v, 1.0)
+        den = 2.0 * denom2
+        anum = jnp.abs((sm - sp) * 16.0 + denom2)
+        qa = jnp.zeros_like(anum)
+        for c in range(1, 9):
+            qa = qa + (anum >= float(c) * den).astype(jnp.float32)
+        q = jnp.where((sm - sp) * 16.0 + denom2 < 0.0, -qa, qa)
+        sub16 = jnp.where(
+            (best > 0.0) & (best < float(K - 1)), best * 16.0 + q, best * 16.0
+        )
+        stats = [minS, best, sub16, uok]
+    else:
+        stats = [minS, best, sm, s0v, sp, uok]
     # lane j = P*stat_idx + b reads stat's replicated value at k = stat_idx
     # (the value is replicated across the group, so no lane movement is
     # needed — only selects). Full-width output: Mosaic aborts on ANY
@@ -819,7 +842,7 @@ def _wta_fused_kernel(P, K, uniq, *refs):
     be placed by pure lane selects (no lane movement), the same trick as
     the 6-stat output.
 
-    cv2's subpixel C-division (sgbm.subpixel_disp16 / _c_div semantics)
+    cv2's subpixel C-division (sgbm.subpixel_disp16 semantics)
     is computed EXACTLY without integer division: the quotient of
     ((sm - sp)*16 + denom2) by 2*denom2 lies in [-8, 8] (num is within
     [-15, 17]*denom2), so 8 compare-accumulates on |num| give
@@ -890,7 +913,7 @@ def _wta_fused_kernel(P, K, uniq, *refs):
     jax.jit,
     static_argnames=(
         "band", "granularity", "P1", "P2", "uniq", "num_paths", "tile_px",
-        "cost_bound", "fused_out", "interpret",
+        "cost_bound", "fused_out", "sub_out", "interpret",
     ),
 )
 def banded_reduce_pack(
@@ -905,6 +928,7 @@ def banded_reduce_pack(
     tile_px: int = 8,
     cost_bound: int = 93 * 121,
     fused_out: bool = False,
+    sub_out: bool = False,
     interpret: bool = False,
 ):
     """Packed banded aggregation + WTA.
@@ -918,7 +942,9 @@ def banded_reduce_pack(
         direction (hier tile*coarse_factor == 4, e.g. HIER_FAST).
 
     Returns six (P, H, W) float32 stat maps:
-      (minS, best_k, sm, s0, sp, unique_ok) — or, with ``fused_out``
+      (minS, best_k, sm, s0, sp, unique_ok) — or, with ``sub_out``, FOUR
+    maps (minS, best_k, sub16, unique_ok) with the subpixel parabola
+    finished in the WTA kernel (see _wta_kernel) — or, with ``fused_out``
     (requires band == 16, P == 8), TWO (P, H, W) int32 maps
     (pack, disp16 + 32768*unique_ok) from the fused WTA kernel
     (see _wta_fused_kernel; consumed by hier._assemble_fused).
@@ -1115,10 +1141,11 @@ def banded_reduce_pack(
 
     vols = [a[:H] for a in vols]
 
+    n_stats = 4 if sub_out else 6
     spec_in = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, W, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_wta_kernel, P, K, float(uniq)),
+        functools.partial(_wta_kernel, P, K, float(uniq), sub_out),
         grid=(H,),
         in_specs=[spec_in] * len(vols),
         out_specs=spec_out,
@@ -1133,9 +1160,9 @@ def banded_reduce_pack(
     )(*vols)
     # ONE contiguous lane slice + reshape, not 24 strided slices (each
     # strided slice re-reads the full 472 MB volume in XLA).
-    packed = outs[:, :W0, : 6 * P].reshape(H, W0, 6, P)
-    stats = jnp.moveaxis(packed, (2, 3), (0, 1))  # (6, P, H, W)
-    return tuple(stats[i] for i in range(6))
+    packed = outs[:, :W0, : n_stats * P].reshape(H, W0, n_stats, P)
+    stats = jnp.moveaxis(packed, (2, 3), (0, 1))  # (n_stats, P, H, W)
+    return tuple(stats[i] for i in range(n_stats))
 
 
 # ---------------------------------------------------------------------------
@@ -1190,6 +1217,7 @@ def banded_stats_pack(
     stride: int = 1,
     tile_px: int = 8,
     fused: bool = False,
+    sub: bool = False,
     interpret: bool = False,
 ):
     """Packed banded core: P frames end-to-end through the Pallas
@@ -1200,8 +1228,11 @@ def banded_stats_pack(
       left, right: (P, H, W) int images; s: (P, H, W) int32 shift maps.
 
     Returns six (P, H, W - min_x) int32/bool maps:
-      (minS, best_k, sm, s0, sp, unique_ok) — or, with ``fused``,
-    the TWO fused-WTA int32 maps (see banded_reduce_pack fused_out).
+      (minS, best_k, sm, s0, sp, unique_ok) — or, with ``sub``, FOUR
+    maps (minS, best_k, sub16, unique_ok) with the subpixel parabola
+    finished in the WTA kernel (== banded_stats_scan(sub=True)) — or,
+    with ``fused``, the TWO fused-WTA int32 maps (see banded_reduce_pack
+    fused_out).
     """
     P, H, W = left.shape
     D = params.num_disparities
@@ -1235,10 +1266,13 @@ def banded_stats_pack(
         Cv, sv, band, granularity, params.P1, params.P2,
         params.uniqueness_ratio, num_paths=params.num_paths,
         tile_px=tile_px, cost_bound=93 * params.block_size ** 2,
-        fused_out=fused, interpret=interpret,
+        fused_out=fused, sub_out=sub, interpret=interpret,
     )
     if fused:
         return outs
-    minS, best, sm, s0, sp, uok = outs
     c = lambda a: a.astype(jnp.int32)
+    if sub:
+        minS, best, sub16, uok = outs
+        return c(minS), c(best), c(sub16), uok > 0.5
+    minS, best, sm, s0, sp, uok = outs
     return c(minS), c(best), c(sm), c(s0), c(sp), uok > 0.5

@@ -326,16 +326,22 @@ def _assemble_disparity(
 ) -> jnp.ndarray:
     """Banded stats -> full-width float disparity map (pre-speckle).
 
-    stats: (minS, best_k, sm, s0, sp, unique_ok) on columns x >= min_x;
+    stats: (minS, best_k, sm, s0, sp, unique_ok) on columns x >= min_x —
+    or the 4-tuple (minS, best_k, sub16, unique_ok) when the subpixel
+    parabola was already finished in the WTA kernel (banded_stats_pack /
+    banded_stats_scan ``sub=True``; bit-identical values);
     s_v: shift map on the same columns (None => zero, e.g. coarse pass).
     The LR consistency check runs over the FULL ``ndisp_full`` range on
     absolute values. ``stride`` > 1 (strided coarse search): lane k is
     disparity stride*k; the subpixel parabola interpolates in k units
     and is scaled back to disparity units.
     """
-    minS, k, sm, s0, sp, unique_ok = stats
+    if len(stats) == 4:
+        minS, k, sub16, unique_ok = stats
+    else:
+        minS, k, sm, s0, sp, unique_ok = stats
+        sub16 = subpixel_disp16(k, sm, s0, sp, band)
     H = minS.shape[0]
-    sub16 = subpixel_disp16(k, sm, s0, sp, band)
     if s_v is None:
         best_abs = stride * k
         disp = stride * sub16.astype(jnp.float32) / 16.0
@@ -397,6 +403,22 @@ _DS_PALLAS = True
 # (those passes ran on the small (P, H, Wv) maps, not the volume).
 # Kept as a tested capability (test_fused_wta_assemble_matches_scan).
 _FUSED_STATS = False
+
+# A/B toggle (round 3n): finish the subpixel parabola INSIDE the WTA
+# kernel (banded_stats_pack(sub=True) -> 4 stat maps instead of 6),
+# reusing the sel() samples the kernel already computes and shrinking
+# the stat unpack by a third. Bit-identical output (the scan reference
+# implements the same contract via subpixel_disp16).
+#
+# Measured on the chip (benchmarks/hier_ab_r3n.py, 2026-08-19): a ~1%
+# LOSS (206.2 vs 208.1 Mpx/s) — once subpixel_disp16's int32 division
+# was replaced by f32 compare-accumulates (the real r3n win: that XLA
+# pass went from 0.48 ms/pack of int-div lowering to a cheap fused
+# elementwise pass, 204 -> 208), the remaining XLA subpixel work on the
+# small (P*H, Wv) maps is cheaper than the ~20 extra in-kernel ops: the
+# WTA kernel has no VPU-issue slack (same lesson as r3m, smaller dose).
+# Kept as a tested capability (test_sub_stats_vs_scan).
+_WTA_SUB = False
 
 
 def _assemble_fused(pack, du, W, min_x, params, interpret=False):
@@ -618,7 +640,8 @@ def stereo_sgbm_hier_batch(
         _assemble_disparity_pack(
             list(banded_stats_pack(
                 lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Kc, G,
-                min_x=Dc, stride=hp.coarse_stride, interpret=interpret,
+                min_x=Dc, stride=hp.coarse_stride, sub=_WTA_SUB,
+                interpret=interpret,
             )),
             None, Wc, Dc, Dc, Kc, cp, clr_backend,
             stride=hp.coarse_stride, row_stack=_COARSE_PACK_ASSEMBLE,
@@ -669,7 +692,7 @@ def stereo_sgbm_hier_batch(
     else:
         stats = banded_stats_pack(
             left, right, s, params, B, G, min_x=D, tile_px=tile_px,
-            interpret=interpret,
+            sub=_WTA_SUB, interpret=interpret,
         )
         frames = _assemble_disparity_pack(
             list(stats), s[:, :, D:], W, D, D, B, params, backend,

@@ -379,12 +379,30 @@ def wta_scan(S: jnp.ndarray, ndisp: int, uniqueness_ratio: int):
 def subpixel_disp16(best, sm, s0, sp, ndisp: int):
     """cv2 subpixel parabola (integer semantics, DISP_SCALE = 16):
     d*16 + ((S[d-1]-S[d+1])*16 + denom2) / (denom2*2), C integer division.
-    Returns the 16x fixed-point disparity (int32)."""
-    denom2 = jnp.maximum(sm + sp - 2 * s0, 1)
-    num = (sm - sp) * 16 + denom2
+    Returns the 16x fixed-point disparity (int32).
+
+    The C division is computed WITHOUT integer division (int32 `//` has
+    no TPU hardware path — its XLA lowering was 0.48 ms/pack of the
+    hier headline, the single most expensive glue op in the r3n trace):
+    s0 is the WTA minimum, so |sm - sp| <= (sm - s0) + (sp - s0) =
+    denom2 unclamped, hence num = (sm - sp)*16 + denom2 lies in
+    [-15, 17] * denom2 and the quotient magnitude is <= 8 — eight
+    compare-accumulates on |num| give floor(|num| / den) exactly
+    (exhaustive check: tests/test_banded_pallas.py::
+    TestFusedSubpixelDivision). f32 arithmetic is exact here: every
+    operand is an integer below 2^24 (8-path S <= 8 * (cost_max + P2)
+    ~ 1.1e5, so num <= 17 * 2 * Smax ~ 3.7e6 and 8 * den ~ 3.5e6)."""
+    denom2 = jnp.maximum(sm + sp - 2 * s0, 1).astype(jnp.float32)
+    num = (sm - sp).astype(jnp.float32) * 16.0 + denom2
+    den = 2.0 * denom2
+    anum = jnp.abs(num)
+    qa = jnp.zeros_like(anum)
+    for c in range(1, 9):
+        qa = qa + (anum >= float(c) * den).astype(jnp.float32)
+    q = jnp.where(num < 0.0, -qa, qa).astype(jnp.int32)
     return jnp.where(
         (best > 0) & (best < ndisp - 1),
-        best * 16 + _c_div(num, denom2 * 2),
+        best * 16 + q,
         best * 16,
     )
 
@@ -532,12 +550,6 @@ def stereo_sgbm(
             invalid_value=invalid_val,
         )
     return full
-
-
-def _c_div(a, b):
-    """C-style integer division (truncation toward zero)."""
-    q = jnp.abs(a) // jnp.abs(b)
-    return jnp.sign(a) * jnp.sign(b) * q
 
 
 stereo_sgbm_jit = jax.jit(stereo_sgbm, static_argnames=("params",))

@@ -147,6 +147,29 @@ class TestStatsPackEndToEnd:
                     err_msg=f"frame {b} stat {name}",
                 )
 
+    def test_sub_stats_vs_scan(self):
+        """The round-3n 4-stat form (subpixel parabola finished in the
+        WTA kernel via compare-accumulate division) must match the scan
+        reference's subpixel_disp16 bit-for-bit."""
+        left, right = _rand_scene(P, H, W, D, seed=16)
+        s = _rand_shift_map(P, H, W, D, K, G, seed=17)
+        params = PARAMS._replace(uniqueness_ratio=10, num_paths=8)
+        min_x = D
+        outs = banded_stats_pack(
+            left, right, s, params, K, G, min_x, sub=True, interpret=True
+        )
+        assert len(outs) == 4
+        for b in range(P):
+            ref = banded_stats_scan(
+                left[b], right[b], s[b], params, K, G, min_x, sub=True
+            )
+            for i, name in enumerate(["minS", "best", "sub16", "uok"]):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[i][b]).astype(np.float64),
+                    np.asarray(ref[i]).astype(np.float64),
+                    err_msg=f"frame {b} stat {name}",
+                )
+
 
 class TestHierBatch:
     def test_batch_matches_single_frame(self):
