@@ -42,8 +42,26 @@ class PoseNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, return_heatmap: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        return_heatmap: bool = False,
+        local_window: int = 0,
     ):
+        """``local_window`` > 0 restricts the soft-argmax to a
+        (2w+1)^2 window around each landmark's argmax cell (inference
+        only; training supervises the GLOBAL distribution).
+
+        MEASURED WORSE than the global decode at identical weights
+        (benchmarks/pose_eval.py, 2026-08-19, 3 held-out stereo scenes,
+        192px/w24 weights: w=2 53.9 mm / w=3 36.7 mm vs global 37.1 mm
+        mean median joint error; the shipped 256px/w32 weights measure
+        17.2 mm with the global decode): with distribution supervision
+        the global expectation is
+        already near-optimal, and clipping to a window discards mass
+        that is informative when the peak straddles cells. Kept as a
+        tested decode option; the default (0) is the production path.
+        """
         w = self.width
         # Backbone: /16 with CSP stages.
         x = ConvBnSiLU(w, 3, 2)(x, train)         # /2
@@ -65,6 +83,16 @@ class PoseNet(nn.Module):
         # Soft-argmax over the heatmap -> normalized (x, y).
         B, Hh, Wh, L = heat.shape
         logits = heat.reshape(B, Hh * Wh, L)
+        if local_window > 0:
+            am = jnp.argmax(logits, axis=1)  # (B, L) flat cell index
+            ay = (am // Wh).astype(heat.dtype)
+            ax = (am % Wh).astype(heat.dtype)
+            yy = jnp.arange(Hh, dtype=heat.dtype)
+            xx = jnp.arange(Wh, dtype=heat.dtype)
+            my = jnp.abs(yy[None, :, None] - ay[:, None, :]) <= local_window
+            mx = jnp.abs(xx[None, :, None] - ax[:, None, :]) <= local_window
+            mask = my[:, :, None, :] & mx[:, None, :, :]  # (B, Hh, Wh, L)
+            logits = jnp.where(mask.reshape(B, Hh * Wh, L), logits, -1e9)
         att = jax.nn.softmax(logits, axis=1).reshape(B, Hh, Wh, L)
         ys = (jnp.arange(Hh, dtype=att.dtype) + 0.5) / Hh
         xs = (jnp.arange(Wh, dtype=att.dtype) + 0.5) / Wh

@@ -93,15 +93,17 @@ def test_pose_video_to_angles(tmp_path):
     finite = np.isfinite(poses).all(-1)
     assert finite.mean() > 0.9, f"only {finite.mean():.0%} of joints fused"
     err = np.linalg.norm(poses - gt13, axis=-1)[finite]
-    # r3 bar (VERDICT r2 weak #2): the 192px /4-heatmap net with
-    # distribution supervision measures 32 mm median on this scene
-    # (43.7 mm across 3 held-out seeds, TPU eval 2026-08-17); the r2
-    # placeholder-quality bar was 250 mm. Margin covers CPU/TPU numerics.
-    assert np.median(err) < 60.0, f"median 3D joint error {np.median(err):.0f} mm"
+    # r3 bar (VERDICT r2 weak #2): the 256px/w32 /4-heatmap net with
+    # distribution supervision measures 13.2 mm median on this scene
+    # (17.2 mm across 3 held-out seeds, benchmarks/pose_eval.py
+    # 2026-08-19; the 192px/w24 predecessor was 37.1, the r2
+    # placeholder 250). Margin covers the mp4 roundtrip + CPU/TPU
+    # numerics.
+    assert np.median(err) < 30.0, f"median 3D joint error {np.median(err):.0f} mm"
 
     ang = np.asarray(pose_angles(jnp.asarray(poses)))
     ang_gt = np.asarray(pose_angles(jnp.asarray(gt13)))
     ok = np.isfinite(ang) & np.isfinite(ang_gt)
     assert ok.mean() > 0.9
-    # measured 3.0 deg median on this scene (4.9 deg across seeds)
-    assert np.median(np.abs(ang - ang_gt)[ok]) < 8.0
+    # measured 1.28 deg median on this scene (1.58 deg across seeds)
+    assert np.median(np.abs(ang - ang_gt)[ok]) < 4.0
