@@ -27,7 +27,10 @@ Candidate modes (all full StereoSGBMParams semantics incl. speckle):
 Timing method: N chained runs inside one jit dispatch (each iteration's
 input depends on the previous output), materialized at the end — immune
 to async-dispatch undercounting and value-keyed result caching in the
-remote-TPU tunnel.
+remote-TPU tunnel. N=25: the tunnel adds a FIXED ~26 ms round-trip per
+dispatch (measured by an N-sweep, r3p: 35.7/32.4/30.4 ms-per-iter at
+N=5/10/25 vs 29.3 ms device-module time in the xplane trace), so small
+N under-reports steady-state throughput by the amortized dispatch cost.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -42,7 +45,7 @@ import numpy as np
 
 BASELINE_MPXS = 500.0
 H, W, D = 720, 1280, 128
-N = 5
+N = 25
 # Frames per dispatch, per mode: the lane-packed hier kernels process
 # 128/band frames at full vector width (4 at band 32, 8 at band 16); the
 # full-D modes measured +18% at batch=4 over batch=1 (metric is per-chip
