@@ -120,13 +120,11 @@ def make_sharded_pipeline(
         params=params, hier_params=hier_params,
     )
     if matcher == "sgbm_hier":
-        from jax.experimental.shard_map import shard_map
-
-        fn = shard_map(
+        fn = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            check_rep=False,
+            check_vma=False,
         )
     jfn = jax.jit(
         fn,
