@@ -321,13 +321,32 @@ def detect_balls_in_frames(frames: np.ndarray, score_threshold: float = 0.3):
     return out
 
 
+_POSE_FWD = None
+
+
+def _pose_forward():
+    """Cached jitted PoseNet forward: a fresh ``jax.jit(lambda ...)`` per
+    call would key a new pjit cache entry every time (the lambda's
+    identity is the key), recompiling the full network on every call —
+    minutes each through the remote-TPU tunnel. One module-level jitted
+    callable compiles once per input shape."""
+    global _POSE_FWD
+    if _POSE_FWD is None:
+        import jax
+
+        model, variables = load_pose_net()
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        _POSE_FWD = (fwd, variables)
+    return _POSE_FWD
+
+
 def pose_landmarks_in_frames(frames: np.ndarray) -> np.ndarray:
     """(T, H, W, 3) uint8 -> (T, 33, 4) landmarks in PIXELS of the input
     frames (x, y, z, visibility) — the MediaPipe interface the trackers eat."""
     import cv2
     import jax.numpy as jnp
 
-    model, variables = load_pose_net()
+    fwd, variables = _pose_forward()
     Ht, Wt = POSE_IMG_HW
     T, H, W = frames.shape[:3]
     # Letterbox: the net is trained on undistorted (square-pixel) bodies;
@@ -340,13 +359,7 @@ def pose_landmarks_in_frames(frames: np.ndarray) -> np.ndarray:
     small /= 255.0
     # Jit the whole forward: eager op-by-op through the TPU tunnel is
     # minutes-slow; one compiled program runs in milliseconds.
-    import jax
-
-    lm = np.array(
-        jax.jit(lambda v, x: model.apply(v, x, train=False))(
-            variables, jnp.asarray(small)
-        )
-    )
+    lm = np.array(fwd(variables, jnp.asarray(small)))
     lm[:, :, 0] *= Wt / s
     lm[:, :, 1] *= Ht / s
     return lm

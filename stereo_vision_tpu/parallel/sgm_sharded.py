@@ -82,8 +82,8 @@ def _band_scan(c_band, carry, P1, P2, with_diag):
     return S, carry2
 
 
-def _aggregate_pipelined_local(C_loc, *, axis: str, S: int, F: int, P1, P2, with_diag):
-    """Frame-pipelined 8/4-path aggregation of per-device row bands.
+def _aggregate_pipelined_local(C_loc, *, axis: str, S: int, F: int, P1, P2, num_paths):
+    """Frame-pipelined 8/4/3/2-path aggregation of per-device row bands.
 
     The per-device half of :func:`sgm_aggregate_sharded`, callable from
     inside a larger ``shard_map`` body (the fully-sharded SGBM pipeline
@@ -94,6 +94,7 @@ def _aggregate_pipelined_local(C_loc, *, axis: str, S: int, F: int, P1, P2, with
     single-device scan backend once bands are concatenated).
     """
     _, Hb, W, D = C_loc.shape
+    with_diag = num_paths >= 8
     fwd = [(i, i + 1) for i in range(S - 1)]   # zeros enter at device 0
     bwd = [(i + 1, i) for i in range(S - 1)]   # zeros enter at device S-1
     s = jax.lax.axis_index(axis)
@@ -118,11 +119,16 @@ def _aggregate_pipelined_local(C_loc, *, axis: str, S: int, F: int, P1, P2, with
 
         band_dn = grab(f_dn)
         S_dn, dn_out = _band_scan(band_dn, dn_c, P1, P2, with_diag)
-        # Horizontal pair: band-local, folded in on the downward tick.
-        Sh = _aggregate_horiz(
-            jnp.stack([band_dn, jnp.flip(band_dn, 1)]), P1, P2
-        )
-        S_dn = S_dn + Sh[0] + jnp.flip(Sh[1], 1)
+        # Horizontal paths: band-local, folded in on the downward tick
+        # (L->R at num_paths >= 3, R->L at >= 4 — sgbm._aggregate_8
+        # semantics; 2-path is the vertical pair only).
+        if num_paths >= 3:
+            Sh = _aggregate_horiz(
+                jnp.stack([band_dn, jnp.flip(band_dn, 1)]), P1, P2
+            )
+            S_dn = S_dn + Sh[0]
+            if num_paths >= 4:
+                S_dn = S_dn + jnp.flip(Sh[1], 1)
 
         band_up = jnp.flip(grab(f_up), 0)  # upward = y-flipped scan
         S_up_f, up_out = _band_scan(band_up, up_c, P1, P2, with_diag)
@@ -173,11 +179,9 @@ def sgm_aggregate_sharded(
     S = mesh.shape[axis]
     if H % S:
         raise ValueError(f"H={H} must be divisible by the band count {S}")
-    with_diag = num_paths >= 8
-
     def body(C_loc):  # per-device: (F, Hb, W, D)
         return _aggregate_pipelined_local(
-            C_loc, axis=axis, S=S, F=F, P1=P1, P2=P2, with_diag=with_diag
+            C_loc, axis=axis, S=S, F=F, P1=P1, P2=P2, num_paths=num_paths
         )
 
     spec = P(None, axis, None, None)
@@ -266,7 +270,6 @@ def stereo_sgbm_sharded(
     bs = params.block_size
     r = bs // 2
     halo = r + 1  # box reach + Sobel's one-row reach
-    with_diag = params.num_paths >= 8
     fwd = [(i, i + 1) for i in range(S - 1)]
     bwd = [(i + 1, i) for i in range(S - 1)]
     cost_params = params._replace(min_disparity=0)
@@ -320,7 +323,7 @@ def stereo_sgbm_sharded(
 
         S_loc = _aggregate_pipelined_local(
             C_loc, axis=axis, S=S, F=F,
-            P1=params.P1, P2=params.P2, with_diag=with_diag,
+            P1=params.P1, P2=params.P2, num_paths=params.num_paths,
         )
 
         def finish(S_f):

@@ -109,25 +109,30 @@ def measure_clicks(
     With ``R1/R2`` given, clicks are undistorted into the RECTIFIED frame
     and P1/P2 must be the rectified projections (the reference's
     StereoCameraSystem.triangulate_points path, distance.py:159-207);
-    without them, clicks are undistorted to the pinhole frame and P1/P2
-    are K1[I|0] / K2[R|T]-style projections.
+    without them, P1/P2 are K1[I|0] / K2[R|T]-style projections and each
+    camera's clicks are undistorted with its OWN intrinsics (P=K): the
+    undistorted pixel x = K @ x_norm is exactly what those projections
+    expect. (Passing P2 = K2@[R|T] to the undistort reprojection would
+    silently read fx'/cx' out of K2@R and drop its lower rows — wrong
+    whenever the rig rotation is not identity.)
     """
     import jax.numpy as jnp
 
     from stereo_vision_tpu.ops.distortion import undistort_points
     from stereo_vision_tpu.ops.triangulate import triangulate_points
 
+    rectified = R1 is not None or R2 is not None
     reports = []
     for m in clicks:
         kw1 = dict(R=jnp.asarray(R1)) if R1 is not None else {}
         kw2 = dict(R=jnp.asarray(R2)) if R2 is not None else {}
         ul = undistort_points(
             jnp.asarray(m.left), jnp.asarray(K1), jnp.asarray(d1),
-            P=jnp.asarray(P1), **kw1,
+            P=jnp.asarray(P1 if rectified else K1), **kw1,
         )
         ur = undistort_points(
             jnp.asarray(m.right), jnp.asarray(K2), jnp.asarray(d2),
-            P=jnp.asarray(P2), **kw2,
+            P=jnp.asarray(P2 if rectified else K2), **kw2,
         )
         pts = np.asarray(
             triangulate_points(

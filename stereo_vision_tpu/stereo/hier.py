@@ -231,31 +231,6 @@ def _pool(a: jnp.ndarray, r: int, op) -> jnp.ndarray:
     return out
 
 
-def _minplus_1d(a: jnp.ndarray, slope: float, axis: int) -> jnp.ndarray:
-    """Exact 1-D lower-envelope transform f[i] = min_j a[j] + slope*|i-j|
-    via log2(n) doubling rounds of shift-and-min."""
-    n = a.shape[axis]
-    big = jnp.float32(1e9)
-
-    def shift(x, k):
-        pad = [(0, 0), (0, 0)]
-        if k > 0:
-            pad[axis] = (k, 0)
-            sl = [slice(None), slice(None)]
-            sl[axis] = slice(0, n)
-        else:
-            pad[axis] = (0, -k)
-            sl = [slice(None), slice(None)]
-            sl[axis] = slice(-k, n - k)
-        return jnp.pad(x, pad, constant_values=big)[tuple(sl)]
-
-    step = 1
-    while step < n:
-        a = jnp.minimum(a, jnp.minimum(shift(a, step), shift(a, -step)) + slope * step)
-        step *= 2
-    return a
-
-
 def shift_map(
     coarse_disp: jnp.ndarray,
     num_disparities: int,
@@ -299,7 +274,6 @@ def shift_map(
     hi_ok = jnp.ceil((hi_t - B) / G) * G       # smallest grid point >= hi - B
     cover = hi_ok <= lo_ok
     s = jnp.where(cover, jnp.clip(s, hi_ok, lo_ok), s)
-    s = jnp.clip(s, 0.0, float(D - B))
 
     # No Lipschitz smoothing: banded.align_band treats |delta| > G as a
     # non-overlapping predecessor and resets to the border rule, which is
@@ -657,12 +631,18 @@ def stereo_sgbm_hier_batch(
         )
 
     # 3. Banded packed core on the full-range valid region. The shift
-    # map is piecewise-constant on (f*tile)^2 pixel tiles; the reduce
-    # kernels need the tile side to place their carry re-alignments
-    # (4 adds a mid-block realignment; multiples of 8 are entry-only).
-    tile_px = f * hp.tile if f * hp.tile == 4 else 8
-    assert (f * hp.tile) % 8 == 0 or f * hp.tile == 4, \
-        f"unsupported shift tile {f * hp.tile}px (need 4 or a multiple of 8)"
+    # map is piecewise-constant on (f*tile)-row x (fx*tile)-col pixel
+    # tiles; the reduce kernels need the tile side to place their carry
+    # re-alignments (4 adds a mid-block realignment; multiples of 8 are
+    # entry-only). With an asymmetric coarse_fx the two sides differ:
+    # take the MIN — a mid-block realign on an 8-aligned axis sees a
+    # zero delta and is an exact no-op (TestTile4Realign asymmetric
+    # case), while SKIPPING one on a 4-px axis would run unaligned.
+    ty, tx = f * hp.tile, fx * hp.tile
+    for t_px in (ty, tx):
+        assert t_px % 8 == 0 or t_px == 4, \
+            f"unsupported shift tile {t_px}px (need 4 or a multiple of 8)"
+    tile_px = 4 if min(ty, tx) == 4 else 8
 
     backend = params.backend
     if backend == "auto":

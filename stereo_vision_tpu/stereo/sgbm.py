@@ -328,9 +328,14 @@ def sgbm_stats(
         C_full = compute_cost_volume(left, right, params)  # (H, W, D)
         C = C_full[:, minX1:, :]  # cv2 aggregates only the valid x range
 
-    if backend == "pallas":
+    if backend == "pallas" and params.num_paths >= 4:
         # Fused aggregation + WTA: the four direction partial volumes feed
         # the stats kernel directly — S never materializes (sgm_pallas).
+        # num_paths < 4 routes to the scan aggregation below (the exact
+        # Pallas reduce always runs both horizontal scans; silently
+        # summing 4 paths for a 3-path request would diverge from the
+        # scan backend — the banded kernels, not these, are the fast
+        # 2/3-path TPU path).
         from stereo_vision_tpu.stereo.sgm_pallas import sgm_reduce_pallas
 
         # NOTE: int16 direction volumes (cost_bound=bs^2*(2*ftzero+63)) were

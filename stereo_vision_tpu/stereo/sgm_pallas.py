@@ -448,6 +448,11 @@ def sgm_reduce_pallas(
     3-direction set sum 3 * (cost_bound + P2) fits int16, the direction
     volumes are stored int16, halving their HBM writes + WTA reads.
     """
+    assert num_paths >= 4, (
+        "the exact Pallas reduce always runs both horizontal scans; "
+        "2/3-path requests must use the scan backend (sgbm._aggregate_8) "
+        "or the banded kernels (banded_pallas.banded_reduce_pack)"
+    )
     H, W0, D = C.shape
     use_i16 = cost_bound is not None and 3 * (cost_bound + P2) < (1 << 15)
     vdt = jnp.int16 if use_i16 else jnp.float32

@@ -35,12 +35,13 @@ def _rand_scene(P, H, W, D, seed=0):
     return jnp.asarray(left), jnp.asarray(right)
 
 
-def _rand_shift_map(P, H, W, D, B, G, seed=1, tile=8):
-    """Tile-constant (tile x tile) random shift maps on the G grid."""
+def _rand_shift_map(P, H, W, D, B, G, seed=1, tile=8, tile_x=None):
+    """Tile-constant (tile x tile_x) random shift maps on the G grid."""
     rng = np.random.default_rng(seed)
-    Ht, Wt = -(-H // tile), -(-W // tile)
+    tx = tile if tile_x is None else tile_x
+    Ht, Wt = -(-H // tile), -(-W // tx)
     vals = rng.integers(0, (D - B) // G + 1, (P, Ht, Wt)) * G
-    s = np.repeat(np.repeat(vals, tile, axis=1), tile, axis=2)[:, :H, :W]
+    s = np.repeat(np.repeat(vals, tile, axis=1), tx, axis=2)[:, :H, :W]
     return jnp.asarray(s.astype(np.int32))
 
 
@@ -325,6 +326,29 @@ class TestTile4Realign:
         Hh, Wh = 32, 192
         left, right = _rand_scene(P4, Hh, Wh, 128, seed=12)
         s = _rand_shift_map(P4, Hh, Wh, 128, K4, G4, seed=13, tile=4)
+        params = PARAMS._replace(num_disparities=128, num_paths=4)
+        outs = banded_stats_pack(
+            left, right, s, params, K4, G4, min_x=128, tile_px=4,
+            interpret=True,
+        )
+        for b in range(P4):
+            ref = banded_stats_scan(left[b], right[b], s[b], params, K4, G4, 128)
+            for i, name in enumerate(["minS", "best", "sm", "s0", "sp", "uok"]):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[i][b]).astype(np.float64),
+                    np.asarray(ref[i]).astype(np.float64),
+                    err_msg=f"frame {b} stat {name}",
+                )
+
+    def test_stats_exact_vs_scan_asymmetric_8row_4col(self):
+        """Asymmetric tiles (8-row x 4-col, e.g. coarse_fx=f/2 with
+        tile=1) run at tile_px=4: the extra mid-block ROW realign sees a
+        zero delta and must be an exact no-op while the 4-px COLUMN
+        boundaries get their required mid realign (hier.py min rule)."""
+        P4, K4, G4 = 8, 16, 8
+        Hh, Wh = 32, 192
+        left, right = _rand_scene(P4, Hh, Wh, 128, seed=21)
+        s = _rand_shift_map(P4, Hh, Wh, 128, K4, G4, seed=22, tile=8, tile_x=4)
         params = PARAMS._replace(num_disparities=128, num_paths=4)
         outs = banded_stats_pack(
             left, right, s, params, K4, G4, min_x=128, tile_px=4,

@@ -56,6 +56,30 @@ class TestMeasureClicks:
         np.testing.assert_allclose(rep.points_3d[0], a, atol=1.0)
         assert rep.validation is not None and rep.validation.passed
 
+    def test_rotated_rig_distance_recovered(self):
+        """Regression: with a verged rig (R != I) the unrectified path
+        must undistort with each camera's own K, NOT with P2 = K2@[R|T]
+        (which would read fx'/cx' out of K2@R and corrupt the right
+        clicks)."""
+        ang = np.deg2rad(6.0)  # ~6 deg vergence about y
+        R = np.array([
+            [np.cos(ang), 0.0, np.sin(ang)],
+            [0.0, 1.0, 0.0],
+            [-np.sin(ang), 0.0, np.cos(ang)],
+        ])
+        base = _rig(dist=[0.06, -0.03, 0.0008, 0.0004, 0.0, 0, 0, 0])
+        rig = StereoRig(K1=base.K1, d1=base.d1, K2=base.K2, d2=base.d2,
+                        R=R, T=base.T)
+        a = np.array([-90.0, 30.0, 1900.0])
+        b = np.array([150.0, -40.0, 2200.0])
+        m = _clicks_for(rig, np.stack([a, b]), expected=float(np.linalg.norm(a - b)))
+        P1 = rig.K1 @ np.hstack([np.eye(3), np.zeros((3, 1))])
+        P2 = rig.K2 @ np.hstack([rig.R, rig.T.reshape(3, 1)])
+        (rep,) = measure_clicks([m], rig.K1, rig.d1, rig.K2, rig.d2, P1, P2)
+        assert rep.distance_mm == pytest.approx(np.linalg.norm(a - b), rel=1e-3)
+        np.testing.assert_allclose(rep.points_3d[0], a, atol=1.0)
+        assert rep.validation is not None and rep.validation.passed
+
     def test_single_point_camera_distance(self):
         rig = _rig()
         p = np.array([50.0, -30.0, 1800.0])

@@ -19,7 +19,7 @@ def mesh4():
     return host_cpu_mesh(4, n_space=4)  # 4 bands, data axis = 1
 
 
-@pytest.mark.parametrize("num_paths", [8, 4])
+@pytest.mark.parametrize("num_paths", [8, 4, 3, 2])
 @pytest.mark.parametrize("F", [1, 3, 6])
 def test_sharded_aggregation_exact(mesh4, num_paths, F):
     rng = np.random.default_rng(42 + F)
@@ -63,7 +63,7 @@ def _scene_pair(rng, F, H, W, max_disp):
     return l, r
 
 
-@pytest.mark.parametrize("num_paths", [8, 4])
+@pytest.mark.parametrize("num_paths", [8, 4, 3])
 def test_sharded_full_pipeline_exact(mesh4, num_paths):
     """stereo_sgbm_sharded == per-frame stereo_sgbm('scan'), bit-exact —
     cost halo over ppermute, pipelined aggregation, band-local WTA/LR,
