@@ -27,10 +27,13 @@ Candidate modes (all full StereoSGBMParams semantics incl. speckle):
 Timing method: N chained runs inside one jit dispatch (each iteration's
 input depends on the previous output), materialized at the end — immune
 to async-dispatch undercounting and value-keyed result caching in the
-remote-TPU tunnel. N=25: the tunnel adds a FIXED ~26 ms round-trip per
-dispatch (measured by an N-sweep, r3p: 35.7/32.4/30.4 ms-per-iter at
-N=5/10/25 vs 29.3 ms device-module time in the xplane trace), so small
-N under-reports steady-state throughput by the amortized dispatch cost.
+remote-TPU tunnel. N=100: the tunnel adds a FIXED ~26-34 ms round-trip
+per dispatch (measured by N-sweeps, r3p/r3q: 35.7/32.4/30.4 ms-per-iter
+at N=5/10/25 vs 29.3 ms device-module time in the xplane trace; the
+headline mode measures 242.2/248.2/250.4 Mpx/s at N=25/50/100, a
+t_dev + F/N fit with F~34 ms and asymptote ~253), so small N
+under-reports steady-state throughput by the amortized dispatch cost;
+N=100 captures ~99% of the asymptote at ~3 s per timed call.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -45,7 +48,7 @@ import numpy as np
 
 BASELINE_MPXS = 500.0
 H, W, D = 720, 1280, 128
-N = 25
+N = 100
 # Frames per dispatch, per mode: the lane-packed hier kernels process
 # 128/band frames at full vector width (4 at band 32, 8 at band 16); the
 # full-D modes measured +18% at batch=4 over batch=1 (metric is per-chip
