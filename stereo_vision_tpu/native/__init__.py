@@ -8,20 +8,17 @@ import numpy as np
 
 from stereo_vision_tpu.native.build import build, load
 
-_mod = None
-_tried = False
+_mods: dict = {}
 
 
-def _native():
-    global _mod, _tried
-    if not _tried:
-        _tried = True
-        _mod = load()
-    return _mod
+def _native(name: str = "host_ops"):
+    if name not in _mods:
+        _mods[name] = load(name)
+    return _mods[name]
 
 
-def native_available() -> bool:
-    return _native() is not None
+def native_available(name: str = "host_ops") -> bool:
+    return _native(name) is not None
 
 
 def pack_gray(frames_rgb: np.ndarray) -> np.ndarray:
@@ -54,4 +51,17 @@ def brightness_series(frames: np.ndarray) -> np.ndarray:
     return frames.mean(axis=(1, 2)).astype(np.float64)
 
 
-__all__ = ["build", "load", "native_available", "pack_gray", "brightness_series"]
+def frame_ring_module():
+    """The compiled _frame_ring module, or None (callers fall back to a
+    queue.Queue path — see io/loader.py)."""
+    return _native("frame_ring")
+
+
+__all__ = [
+    "build",
+    "load",
+    "native_available",
+    "pack_gray",
+    "brightness_series",
+    "frame_ring_module",
+]

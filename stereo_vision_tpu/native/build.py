@@ -1,10 +1,14 @@
-"""Build/load the native host-ops extension.
+"""Build/load the native host extensions.
 
-Compiles host_ops.cpp with g++ (-O3 -march=native -fopenmp) into a cached
-shared object next to the package, on first use. No pybind11 — plain
-CPython C API (the environment ships no pybind11; SURVEY.md environment
-notes). Falls back gracefully: callers use numpy paths when the toolchain
-or compiled module is unavailable.
+Compiles each .cpp with g++ (-O3 -fopenmp) into a cached shared object
+next to the package, on first use. No pybind11 — plain CPython C API (the
+environment ships no pybind11; SURVEY.md environment notes). Falls back
+gracefully: callers use numpy/queue paths when the toolchain or compiled
+module is unavailable.
+
+Modules:
+  host_ops   — grayscale pack + brightness scans (host_ops.cpp)
+  frame_ring — blocking frame-window ring buffer (frame_ring.cpp)
 """
 
 from __future__ import annotations
@@ -15,19 +19,25 @@ import sys
 import sysconfig
 from pathlib import Path
 
-_SRC = Path(__file__).with_name("host_ops.cpp")
-_CACHE_DIR = Path(__file__).parent / "_build"
+_HERE = Path(__file__).parent
+_CACHE_DIR = _HERE / "_build"
+
+_SOURCES = {
+    "host_ops": _HERE / "host_ops.cpp",
+    "frame_ring": _HERE / "frame_ring.cpp",
+}
 
 
-def _so_path() -> Path:
+def _so_path(name: str) -> Path:
     tag = sysconfig.get_config_var("SOABI") or "cpython"
-    return _CACHE_DIR / f"_host_ops.{tag}.so"
+    return _CACHE_DIR / f"_{name}.{tag}.so"
 
 
-def build(force: bool = False) -> Path | None:
-    """Compile the extension; returns the .so path or None on failure."""
-    so = _so_path()
-    if so.exists() and not force and so.stat().st_mtime >= _SRC.stat().st_mtime:
+def build(name: str = "host_ops", force: bool = False) -> Path | None:
+    """Compile the named extension; returns the .so path or None on failure."""
+    src = _SOURCES[name]
+    so = _so_path(name)
+    if so.exists() and not force and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     _CACHE_DIR.mkdir(exist_ok=True)
     include = sysconfig.get_path("include")
@@ -39,7 +49,7 @@ def build(force: bool = False) -> Path | None:
         "-fPIC",
         "-fopenmp",
         f"-I{include}",
-        str(_SRC),
+        str(src),
         "-o",
         str(so),
     ]
@@ -48,17 +58,17 @@ def build(force: bool = False) -> Path | None:
     except (OSError, subprocess.SubprocessError):
         return None
     if r.returncode != 0:
-        sys.stderr.write(f"host_ops build failed:\n{r.stderr}\n")
+        sys.stderr.write(f"{name} build failed:\n{r.stderr}\n")
         return None
     return so
 
 
-def load():
+def load(name: str = "host_ops"):
     """Import the compiled module (building if needed); None on failure."""
-    so = build()
+    so = build(name)
     if so is None:
         return None
-    spec = importlib.util.spec_from_file_location("_host_ops", so)
+    spec = importlib.util.spec_from_file_location(f"_{name}", so)
     if spec is None or spec.loader is None:
         return None
     mod = importlib.util.module_from_spec(spec)

@@ -175,3 +175,61 @@ class StereoStreamProcessor:
         jax.block_until_ready(disp)
         self._pending = None
         return np.asarray(disp), np.asarray(pts)
+
+
+def stream_video_pair(
+    left_path,
+    right_path,
+    mesh: Mesh,
+    maps,
+    Q,
+    matcher: str = "sgbm_hier",
+    params=None,
+    hier_params=None,
+    window: int = 8,
+    left_start: int = 0,
+    right_start: int = 0,
+    max_frames: int | None = None,
+    depth: int = 3,
+):
+    """Decode → disparity → 3D streaming over a synchronized video pair.
+
+    Three overlapped stages replace the reference's serial per-frame loop
+    (3dpose.py:358, ball_drop.py:380):
+
+      1. host decode + native RGB→gray pack (`io.loader.StereoPairLoader` —
+         decode thread + C++ frame ring),
+      2. async `device_put` of the next window while
+      3. the device runs the current window's remap→matcher→Q program.
+
+    Yields ``(seq, disparity (T, H, W), points3d (T, H, W, 3), n_valid)``
+    per window, in stream order; the final window is padded to the window
+    size with ``n_valid`` marking the real frames. ``window`` must match
+    the matcher's pack size for ``sgbm_hier`` (8 for HIER_FAST).
+    """
+    import collections
+
+    from stereo_vision_tpu.io.loader import StereoPairLoader
+
+    loader = StereoPairLoader(
+        left_path, right_path, window,
+        left_start=left_start, right_start=right_start,
+        max_frames=max_frames, depth=depth,
+    )
+    fn = make_sharded_pipeline(mesh, maps, Q, matcher, params, hier_params)
+    inflight: collections.deque = collections.deque()
+    try:
+        for seq, wl, wr, n_valid in loader:
+            # Dispatch is async: the device starts on this window while the
+            # loader thread decodes the next one.
+            inflight.append((seq, n_valid, fn(wl, wr)))
+            if len(inflight) > 1:
+                s, nv, (disp, pts) = inflight.popleft()
+                jax.block_until_ready(disp)
+                yield s, np.asarray(disp), np.asarray(pts), nv
+        while inflight:
+            s, nv, (disp, pts) = inflight.popleft()
+            jax.block_until_ready(disp)
+            yield s, np.asarray(disp), np.asarray(pts), nv
+    finally:
+        loader.close()

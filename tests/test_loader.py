@@ -1,0 +1,209 @@
+"""Native frame ring + prefetching video loader (io/loader.py).
+
+The reference ingests frames serially (3dpose.py:358 ``while
+cap.isOpened()``); the framework decodes and gray-packs windows on host
+threads through the C++ ring while the device computes. These tests pin
+ring semantics (both native and queue-fallback backends), decode parity
+with the batch extractor, stereo alignment, and the streamed pipeline
+end-to-end.
+"""
+
+import queue
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from stereo_vision_tpu import native
+from stereo_vision_tpu.io.loader import FrameRing, StereoPairLoader, VideoPrefetcher
+from stereo_vision_tpu.io.video import extract_frames, write_video
+
+
+@pytest.fixture(params=["native", "fallback"])
+def ring_backend(request, monkeypatch):
+    if request.param == "native":
+        if native.frame_ring_module() is None:
+            pytest.skip("native ring unavailable")
+    else:
+        monkeypatch.setattr(native, "frame_ring_module", lambda: None)
+    return request.param
+
+
+class TestFrameRing:
+    def test_fifo_and_gray_pack(self, ring_backend, rng):
+        r = FrameRing(3, (2, 4, 8))
+        rgb = rng.integers(0, 255, (2, 4, 8, 3)).astype(np.uint8)
+        assert r.put_gray(rgb) == 0
+        assert r.put(np.full((2, 4, 8), 7, np.uint8)) == 1
+        seq, win = r.get()
+        assert seq == 0
+        np.testing.assert_array_equal(win, native.pack_gray(rgb))
+        seq, win = r.get()
+        assert seq == 1 and int(win[0, 0, 0]) == 7
+
+    def test_put_blocks_on_full_until_get(self, ring_backend):
+        r = FrameRing(1, (4,))
+        r.put(np.zeros(4, np.uint8))
+        done = threading.Event()
+
+        def producer():
+            r.put(np.ones(4, np.uint8))
+            done.set()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        time.sleep(0.15)
+        assert not done.is_set(), "put should block while the ring is full"
+        assert r.get()[0] == 0
+        assert done.wait(2.0)
+        assert r.get()[0] == 1
+
+    def test_get_timeout_and_close_drain(self, ring_backend):
+        r = FrameRing(2, (4,))
+        with pytest.raises(queue.Empty):
+            r.get(timeout=0.05)
+        r.put(np.zeros(4, np.uint8))
+        r.close()
+        assert r.get()[0] == 0  # buffered windows survive close
+        assert r.get() is None  # then drained
+        with pytest.raises(RuntimeError):
+            r.put(np.zeros(4, np.uint8))
+
+    def test_close_wakes_blocked_producer(self, ring_backend):
+        r = FrameRing(1, (4,))
+        r.put(np.zeros(4, np.uint8))
+        err = []
+
+        def producer():
+            try:
+                r.put(np.ones(4, np.uint8))
+            except RuntimeError as e:
+                err.append(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        time.sleep(0.1)
+        r.close()
+        t.join(2.0)
+        assert not t.is_alive() and err, "close must release a blocked put"
+
+    def test_stats(self, ring_backend):
+        r = FrameRing(2, (4,))
+        assert r.stats() == (0, 2, False)
+        r.put(np.zeros(4, np.uint8))
+        assert r.stats()[0] == 1
+        r.close()
+        assert r.stats()[2] is True
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    T, H, W = 11, 48, 64
+    frames = rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8)
+    path = write_video(tmp_path_factory.mktemp("clip") / "v.mp4", frames, fps=10)
+    return path, T, H, W
+
+
+class TestVideoPrefetcher:
+    def test_matches_batch_extractor(self, clip):
+        path, T, H, W = clip
+        ref_rgb, _ = extract_frames(path, start=0, interval=1, max_frames=T)
+        ref_gray = native.pack_gray(ref_rgb)
+        got = list(VideoPrefetcher(path, window=4))
+        assert [(s, n) for s, _, n in got] == [(0, 4), (1, 4), (2, 3)]
+        full = np.concatenate([w[:n] for _, w, n in got])
+        np.testing.assert_array_equal(full, ref_gray)
+
+    def test_tail_window_padding(self, clip):
+        path, T, H, W = clip
+        _, win, n = list(VideoPrefetcher(path, window=4))[-1]
+        assert n == 3
+        np.testing.assert_array_equal(win[3], win[2])
+
+    def test_start_interval_max_frames(self, clip):
+        path, T, H, W = clip
+        ref_rgb, _ = extract_frames(path, start=2, interval=3, max_frames=3)
+        got = list(VideoPrefetcher(path, window=3, start=2, interval=3, max_frames=3))
+        assert len(got) == 1 and got[0][2] == 3
+        np.testing.assert_array_equal(got[0][1], native.pack_gray(ref_rgb))
+
+    def test_missing_video_raises(self, tmp_path):
+        with pytest.raises(IOError):
+            VideoPrefetcher(tmp_path / "nope.mp4", window=4)
+
+
+class TestStereoPairLoader:
+    def test_aligned_with_offsets(self, clip):
+        path, T, H, W = clip
+        # Same clip with a 2-frame relative offset: right window k must
+        # equal left window k shifted by 2 frames (flash-sync semantics,
+        # sync/mapper.py).
+        loader = StereoPairLoader(
+            path, path, window=4, left_start=0, right_start=2, max_frames=8
+        )
+        ref_rgb, _ = extract_frames(path, start=0, interval=1, max_frames=T)
+        gray = native.pack_gray(ref_rgb)
+        for seq, wl, wr, n in loader:
+            np.testing.assert_array_equal(wl, gray[seq * 4 : seq * 4 + 4])
+            np.testing.assert_array_equal(wr, gray[seq * 4 + 2 : seq * 4 + 6])
+            assert n == 4
+
+
+def test_stream_video_pair_end_to_end(tmp_path, cpu_mesh):
+    """Decode -> ring -> sharded remap+BM+Q streaming matches the direct
+    batched pipeline on the same frames (BASELINE config #5 shape)."""
+    import jax.numpy as jnp
+
+    from stereo_vision_tpu.ops.rectify import (
+        init_undistort_rectify_map,
+        stereo_rectify,
+    )
+    from stereo_vision_tpu.parallel import create_mesh
+    from stereo_vision_tpu.parallel.streaming import (
+        batched_stereo_pipeline,
+        stream_video_pair,
+    )
+    from stereo_vision_tpu.stereo.bm import StereoBMParams
+
+    rng = np.random.default_rng(5)
+    T, H, W = 8, 64, 96
+    base = rng.integers(0, 255, (H, W + 8, 3)).astype(np.uint8)
+    # left/right = crops of one noise image 4 px apart -> constant
+    # disparity (left[x] = right[x - d]: right content shifted left)
+    frames_l = np.stack([base[:, :W]] * T)
+    frames_r = np.stack([base[:, 4 : W + 4]] * T)
+    pl = write_video(tmp_path / "l.mp4", frames_l, fps=10)
+    pr = write_video(tmp_path / "r.mp4", frames_r, fps=10)
+
+    K = jnp.array([[200.0, 0, 48.0], [0, 200.0, 32.0], [0, 0, 1.0]])
+    dist = jnp.zeros(8)
+    size = (W, H)
+    R1, R2, P1, P2, Q = stereo_rectify(
+        K, dist, K, dist, size, jnp.eye(3), jnp.array([-50.0, 0.0, 0.0]), alpha=0.0
+    )
+    mx1, my1 = init_undistort_rectify_map(K, dist, R1, P1, size)
+    mx2, my2 = init_undistort_rectify_map(K, dist, R2, P2, size)
+    maps = (mx1, my1, mx2, my2)
+    params = StereoBMParams(num_disparities=16, block_size=9)
+
+    mesh = create_mesh(4, 1, devices=list(cpu_mesh.devices.ravel()))
+    out = list(
+        stream_video_pair(
+            pl, pr, mesh, maps, Q, matcher="bm", params=params, window=4
+        )
+    )
+    assert [o[0] for o in out] == [0, 1] and all(o[3] == 4 for o in out)
+
+    # Reference: the same decoded windows through the unsharded pipeline.
+    gl = native.pack_gray(extract_frames(pl, interval=1, max_frames=T)[0])
+    gr = native.pack_gray(extract_frames(pr, interval=1, max_frames=T)[0])
+    for seq, disp, pts, n in out:
+        ref_d, ref_p = batched_stereo_pipeline(
+            jnp.asarray(gl[seq * 4 : seq * 4 + 4]),
+            jnp.asarray(gr[seq * 4 : seq * 4 + 4]),
+            maps, Q, matcher="bm", params=params,
+        )
+        np.testing.assert_allclose(disp, np.asarray(ref_d), atol=1e-5)
+        assert disp.shape == (4, H, W) and pts.shape == (4, H, W, 3)
