@@ -10,6 +10,7 @@ entry point:
   python -m stereo_vision_tpu rectify    --test-dir T --size 1920x1080
   python -m stereo_vision_tpu sync       --test-dir T --left L.mp4 --right R.mp4
   python -m stereo_vision_tpu disparity  --test-dir T --left L.png --right R.png
+  python -m stereo_vision_tpu stream     --test-dir T --left L.mp4 --right R.mp4
   python -m stereo_vision_tpu bench      [--matcher sgbm]
   python -m stereo_vision_tpu pose       --test-dir T --left L.mp4 --right R.mp4
   python -m stereo_vision_tpu ball-drop  --test-dir T --left L.mp4 --right R.mp4
@@ -229,6 +230,119 @@ def cmd_disparity(args) -> int:
         )
     )
     return 0
+
+
+def cmd_stream(args) -> int:
+    """Streaming stereo video -> rectify -> disparity -> depth (BASELINE
+    config #5 as a tool). Replaces the reference's serial per-frame decode
+    loop (3dpose.py:358, ball_drop.py:380) with windowed device programs:
+    native frame-ring decode overlapped with async device_put and the
+    remap->matcher->Q jit (parallel.streaming.stream_video_pair)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from stereo_vision_tpu.io.video import video_info, write_video
+    from stereo_vision_tpu.ops.rectify import init_undistort_rectify_map
+    from stereo_vision_tpu.parallel.mesh import create_mesh
+    from stereo_vision_tpu.parallel.streaming import stream_video_pair
+    from stereo_vision_tpu.pipeline.artifacts import ArtifactStore
+    from stereo_vision_tpu.stereo.bm import StereoBMParams
+    from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
+
+    store = ArtifactStore(args.test_dir)
+    try:
+        rig = store.load_rig()
+        R1, R2, P1, P2, Q = store.load_rectification()
+    except (FileNotFoundError, OSError):
+        print("need calibration + rectification artifacts first", file=sys.stderr)
+        return 2
+
+    info = video_info(args.left)
+    size = (info["width"], info["height"])
+    maps = None
+    maps_path = store.rectify_dir / "maps.npy"
+    if maps_path.exists():
+        m = np.load(maps_path)
+        if m.shape[1:] == (size[1], size[0]):
+            maps = tuple(jnp.asarray(x) for x in m)
+    if maps is None:
+        mx1, my1 = init_undistort_rectify_map(
+            jnp.asarray(rig.K1), jnp.asarray(rig.d1),
+            jnp.asarray(R1), jnp.asarray(P1), size,
+        )
+        mx2, my2 = init_undistort_rectify_map(
+            jnp.asarray(rig.K2), jnp.asarray(rig.d2),
+            jnp.asarray(R2), jnp.asarray(P2), size,
+        )
+        maps = (mx1, my1, mx2, my2)
+
+    # Stored flash offset (right = left + offset), as in _synced_rgb_frames.
+    sync = store.load_sync()
+    offset = int(sync.get("frame_offset", sync.get("offset", 0))) if sync else 0
+
+    mesh = create_mesh(n_data=args.devices, n_space=1)
+    n_data = mesh.devices.shape[0]
+    # sgbm_hier packs 128 // band frames per device program (HIER_FAST: 8).
+    window = args.window or (8 * n_data)
+    if args.matcher == "bm":
+        params = StereoBMParams(
+            num_disparities=args.num_disparities, block_size=args.block_size
+        )
+    else:
+        params = StereoSGBMParams(
+            num_disparities=args.num_disparities, block_size=args.block_size,
+            uniqueness_ratio=10,
+        )
+
+    out_dir = Path(args.test_dir) / "results" / "stream"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    vis_frames: list[np.ndarray] = []
+    per_frame: list[dict] = []
+    n_frames = 0
+    t0 = time.perf_counter()
+    for seq, disp, pts, n_valid in stream_video_pair(
+        args.left, args.right, mesh, maps, jnp.asarray(Q),
+        matcher=args.matcher, params=params, window=window,
+        left_start=max(0, -offset), right_start=max(0, offset),
+        max_frames=args.max_frames,
+    ):
+        for k in range(n_valid):
+            d = disp[k]
+            valid = d > 0
+            z = pts[k, ..., 2][valid]
+            per_frame.append({
+                "frame": seq * window + k,
+                "valid_fraction": float(valid.mean()),
+                "median_depth_mm": float(np.median(z)) if z.size else None,
+            })
+            if args.video_out:
+                vis = np.zeros_like(d)
+                if valid.any():
+                    vis[valid] = d[valid] / max(float(d[valid].max()), 1e-6) * 255
+                vis_frames.append(vis.astype(np.uint8))
+        n_frames += int(n_valid)
+    dt = time.perf_counter() - t0
+
+    if args.video_out and vis_frames:
+        write_video(args.video_out, np.stack(vis_frames), fps=info["fps"] or 30.0)
+    stats_path = out_dir / "stream_stats.json"
+    with open(stats_path, "w") as f:
+        json.dump(per_frame, f, indent=1)
+    summary = {
+        "stage": "stream",
+        "matcher": args.matcher,
+        "frames": n_frames,
+        "size": list(size),
+        "frame_offset": offset,
+        "fps": n_frames / dt if dt > 0 else None,
+        "mpx_per_s": n_frames * size[0] * size[1] / dt / 1e6 if dt > 0 else None,
+        "note": "wall fps includes the one-time jit compile of the window program",
+        "stats": str(stats_path),
+        **({"video_out": str(args.video_out)} if args.video_out else {}),
+    }
+    print(json.dumps(summary))
+    return 0 if n_frames else 2
 
 
 def cmd_bench(args) -> int:
@@ -565,6 +679,26 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--num-disparities", type=int, default=64)
     pd.add_argument("--block-size", type=int, default=5)
     pd.set_defaults(fn=cmd_disparity)
+
+    pst = sub.add_parser(
+        "stream", help="streaming video -> disparity/depth (BASELINE config #5)"
+    )
+    pst.add_argument("--test-dir", required=True)
+    pst.add_argument("--left", required=True)
+    pst.add_argument("--right", required=True)
+    pst.add_argument(
+        "--matcher", choices=("bm", "sgbm", "sgbm_hier"), default="sgbm_hier"
+    )
+    pst.add_argument("--num-disparities", type=int, default=128)
+    pst.add_argument("--block-size", type=int, default=5)
+    pst.add_argument("--devices", type=int, default=None,
+                     help="data-axis device count (default: all)")
+    pst.add_argument("--window", type=int, default=None,
+                     help="frames per device program (default: matcher pack size x data-axis devices)")
+    pst.add_argument("--max-frames", type=int, default=None)
+    pst.add_argument("--video-out", default=None,
+                     help="write a disparity-visualization mp4")
+    pst.set_defaults(fn=cmd_stream)
 
     pb = sub.add_parser("bench", help="headline benchmark")
     pb.set_defaults(fn=cmd_bench)

@@ -10,7 +10,7 @@ from stereo_vision_tpu.pipeline.cli import build_parser, main
 
 def test_parser_covers_commands():
     p = build_parser()
-    for cmd in ("intrinsic", "extrinsic", "rectify", "sync", "disparity", "bench"):
+    for cmd in ("intrinsic", "extrinsic", "rectify", "sync", "disparity", "stream", "bench"):
         assert cmd in p.format_help()
 
 
