@@ -97,6 +97,34 @@ class HierParams(NamedTuple):
     # accuracy; fewer coarse paths save scan kernels at the
     # overhead-bound coarse grid sizes).
     coarse_paths: int = 4
+    # ---- optional MID level (round 4): a banded refinement pass at
+    # 1/mid_factor resolution between the coarse prior and the full-res
+    # band. Purpose: tighten the prior enough that the full-res band can
+    # shrink below 16 (band 8 packs 16 frames per 128-lane program; the
+    # reduce/pix/box kernels are the band-proportional majority of the
+    # pack budget — docs/sgbm_roofline.md "Round 3n" trace). The mid
+    # pass runs the SAME banded core at mid resolution with mid_band
+    # lanes around the coarse prior; its subpixel disparity map becomes
+    # the full-res shift map's prior (scaled by mid_factor).
+    mid_factor: int | None = None
+    mid_band: int = 16
+    mid_granularity: int = 8
+    # Tile side in COARSE pixels of the MID shift map (mid tile side in
+    # mid px = (coarse_factor // mid_factor) * mid_tile) and of the FULL
+    # shift map (full tile side = mid_factor * tile from the base
+    # ``tile`` field). Both must land on 4 px or a multiple of 8 px for
+    # the Pallas reduce kernels (banded_reduce_pack tile_px).
+    mid_tile: int = 2
+    mid_margin: float = 4.0
+    mid_local_window: int = 1
+    mid_paths: int = 4
+    # ---- adaptive band placement (round 4, the 2-path rescue): on
+    # tiles whose pooled local range EXCEEDS the band (prior
+    # discontinuities — exactly where the 2-path mode loses its 0.0003
+    # of bigjump agreement), add wide_margin extra disparities of
+    # headroom above the anchor_hi placement. Flat tiles keep the tight
+    # band; only the discontinuity tiles move.
+    wide_margin: float = 0.0
 
 
 # Measured fast preset (720p/D=128, TPU v5e, chained-jit): band 16 packs
@@ -125,6 +153,23 @@ HIER_FAST = HierParams(
     # scenes (tests below) — the cap only keeps thin elongated blobs
     # (diameter > 8 but <= 100 px) that cv2 would remove.
     speckle_diameter=8,
+)
+
+
+# Round-4 band-8 preset: a TWO-LEVEL prior (1/2-res band-16 mid pass fed
+# by the 1/4-res coarse, HierParams.mid_*) tightens the prior enough for
+# an 8-lane full-res band — 16 frames per 128-lane program, halving the
+# band-proportional kernel cost again (docs/sgbm_roofline.md "Round 4a").
+# The single-level band 8 was rejected in r3b at 0.71 agreement; with
+# the mid level + clamp-artifact splice (_splice_coarse) all four
+# adversarial pins hold (benchmarks/hier_ab_r4a_agreement.py, 3-path:
+# ramp 0.9811 / occl 0.9845 / reptex 1.0000 / bigjump 0.9795 vs bars
+# 0.98/0.983/0.995/0.978). Full tile side = mid_factor*tile = 4 px;
+# mid tile side = (coarse_factor/mid_factor)*mid_tile = 4 px.
+HIER8_FAST = HIER_FAST._replace(
+    band=8, granularity=4, tile=2, margin=1.5,
+    mid_factor=2, mid_band=16, mid_granularity=8, mid_tile=2,
+    mid_margin=4.0, mid_local_window=1,
 )
 
 
@@ -268,7 +313,14 @@ def shift_map(
     # (measured: +1.5% agreement on a 50-px-jump scene).
     s = jnp.round((lo_t + hi_t - B) / 2.0)
     if hp.anchor_hi:
-        s = jnp.maximum(s, hi_t + hp.margin - B)
+        anchor = hi_t + hp.margin - B
+        if hp.wide_margin:
+            # Adaptive placement (round 4): tiles whose pooled range
+            # exceeds the band are prior discontinuities; give THEM extra
+            # foreground headroom while flat tiles keep the tight band.
+            wide = (hi_t - lo_t) > float(B)
+            anchor = jnp.where(wide, anchor + hp.wide_margin, anchor)
+        s = jnp.maximum(s, anchor)
     s = jnp.round(s / G) * G
     lo_ok = jnp.floor(lo_t / G) * G            # largest grid point <= lo
     hi_ok = jnp.ceil((hi_t - B) / G) * G       # smallest grid point >= hi - B
@@ -480,6 +532,65 @@ def _coarse_params(params: StereoSGBMParams, D: int, fx: int, hp: HierParams) ->
     )
 
 
+def _splice_coarse(
+    disp_m: jnp.ndarray,
+    best_k: jnp.ndarray,
+    disp_c: jnp.ndarray,
+    s_m: jnp.ndarray,
+    Bm: int,
+    Dm: int,
+    fc: int,
+) -> jnp.ndarray:
+    """Mid disparity with band-clamp artifacts replaced by the coarse value.
+
+    The mid search was confined to [s_m, s_m + Bm - 1]. Where the
+    FULL-range coarse value lies OUTSIDE that band — prior
+    discontinuities, where anchor_hi pins background pixels onto
+    foreground bands — the mid output never even considered the
+    coarse-preferred disparity and is a clamp artifact: SGM's P2
+    smoothing often parks such a winner mid-band at the FOREGROUND
+    value, not at the band edge, so a band-edge test alone misses it
+    (measured: occl coverage 0.954 -> see hier_ab_r4a_agreement.py; the
+    artifacts poison the next level's pooled band placement). As a final
+    output these pixels are LR-invalidated anyway; as a PRIOR the coarse
+    value is the honest fallback. Band-BOUNDARY winners (k <= 1 /
+    k >= Bm - 2, where the subpixel parabola cannot run) are spliced
+    too; -1 (invalid) falls through to shift_map's _fill_invalid.
+
+    disp_m: (Hm, Wm) assembled mid disparity; best_k: (Hm, Wm - Dm) WTA
+    lane; disp_c: coarse disparity (values in coarse units, 1/fc of
+    mid); s_m: the mid shift map; fc: coarse-to-mid resolution factor.
+    """
+    Hm, Wm = disp_m.shape
+    edge = (best_k <= 1) | (best_k >= Bm - 2)
+    edge_full = jax.lax.dynamic_update_slice(
+        jnp.zeros((Hm, Wm), bool), edge, (0, Dm)
+    )
+    cu = jnp.repeat(jnp.repeat(disp_c, fc, 0), fc, 1)
+    cu = jnp.pad(
+        cu, ((0, Hm - cu.shape[0]), (0, Wm - cu.shape[1])), mode="edge"
+    )[:Hm, :Wm]
+    cu = jnp.where(cu >= 0, cu * fc, -1.0)
+    covered = (cu < 0) | ((cu >= s_m) & (cu <= s_m + (Bm - 1)))
+    good_mid = (disp_m >= 0) & ~edge_full & covered
+    return jnp.where(good_mid, disp_m, cu)
+
+
+def _mid_params(hp: HierParams) -> HierParams:
+    """shift_map parameters of the MID level: its prior is the coarse
+    disparity, coarse_factor // mid_factor times coarser than the mid
+    images."""
+    assert hp.coarse_fx is None, "mid level assumes square coarse factors"
+    assert hp.coarse_factor % hp.mid_factor == 0
+    return HierParams(
+        band=hp.mid_band, granularity=hp.mid_granularity,
+        coarse_factor=hp.coarse_factor // hp.mid_factor,
+        tile=hp.mid_tile, margin=hp.mid_margin,
+        local_window=hp.mid_local_window, anchor_hi=hp.anchor_hi,
+        wide_margin=hp.wide_margin,
+    )
+
+
 def stereo_sgbm_hier(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -501,7 +612,7 @@ def stereo_sgbm_hier(
     D = params.num_disparities
     B, G, f = hp.band, hp.granularity, hp.coarse_factor
     fx = hp.coarse_fx or f
-    assert D % (fx * 16) == 0 and B % 16 == 0 and (D - B) % G == 0
+    assert D % (fx * 16) == 0 and B % 8 == 0 and (D - B) % G == 0
     H, W = left.shape
 
     # 1. Coarse prior.
@@ -526,8 +637,32 @@ def stereo_sgbm_hier(
             stride=hp.coarse_stride,
         )
 
+    # 1b. Optional MID level: banded refinement of the coarse prior at
+    # 1/mid_factor resolution (same core, mid_band lanes); its subpixel
+    # disparity becomes the full-res prior, tight enough for bands < 16.
+    prior, prior_hp = disp_c, hp
+    if hp.mid_factor is not None:
+        from stereo_vision_tpu.stereo.banded import banded_stats_scan
+
+        m = hp.mid_factor
+        assert f % m == 0 and D % m == 0 and hp.mid_band % 8 == 0
+        Dm, Bm, Gm = D // m, hp.mid_band, hp.mid_granularity
+        lm, rm = _downsample_box(left, m), _downsample_box(right, m)
+        s_m = shift_map(disp_c, Dm, _mid_params(hp))
+        Hm, Wm = lm.shape
+        if s_m.shape != (Hm, Wm):
+            s_m = jnp.pad(
+                s_m, ((0, Hm - s_m.shape[0]), (0, Wm - s_m.shape[1])),
+                mode="edge",
+            )
+        pm = _coarse_params(params, D, m, hp)._replace(num_paths=hp.mid_paths)
+        stats_m = banded_stats_scan(lm, rm, s_m, pm, Bm, Gm, min_x=Dm)
+        disp_m = _assemble_disparity(stats_m, s_m[:, Dm:], Wm, Dm, Dm, Bm, pm, "scan")
+        prior = _splice_coarse(disp_m, stats_m[1], disp_c, s_m, Bm, Dm, f // m)
+        prior_hp = hp._replace(coarse_factor=m, coarse_fx=None)
+
     # 2. Shift map.
-    s = shift_map(disp_c, D, hp)
+    s = shift_map(prior, D, prior_hp)
     sH, sW = s.shape
     if (sH, sW) != (H, W):  # H or W not divisible by f*tile: edge-extend
         s = jnp.pad(s, ((0, H - sH), (0, W - sW)), mode="edge")
@@ -623,8 +758,53 @@ def stereo_sgbm_hier_batch(
         for i in range(0, P, pack_c)
     ])
 
+    # 1b. Optional MID level through the SAME packed kernels (see
+    # stereo_sgbm_hier): band Bm around the coarse prior at 1/m res;
+    # the spliced mid disparity becomes the full-res prior.
+    prior, prior_hp = disp_c, hp
+    if hp.mid_factor is not None:
+        m = hp.mid_factor
+        assert f % m == 0 and D % m == 0
+        Dm, Bm, Gm = D // m, hp.mid_band, hp.mid_granularity
+        pack_m = 128 // Bm
+        assert P % pack_m == 0, f"pack {P} not a multiple of mid pack {pack_m}"
+        if _DS_PALLAS and (on_tpu or interpret) and 8 % m == 0 and H % 8 == 0:
+            lm = downsample_box_pack(left, m, interpret=interpret)
+            rm = downsample_box_pack(right, m, interpret=interpret)
+        else:
+            lm = _downsample_box(left, m)
+            rm = _downsample_box(right, m)
+        Hm, Wm = lm.shape[1:]
+        hpm = _mid_params(hp)
+        s_m = jax.vmap(lambda d: shift_map(d, Dm, hpm))(disp_c)
+        if s_m.shape[1:] != (Hm, Wm):
+            s_m = jnp.pad(
+                s_m,
+                ((0, 0), (0, Hm - s_m.shape[1]), (0, Wm - s_m.shape[2])),
+                mode="edge",
+            )
+        pm = _coarse_params(params, D, m, hp)._replace(num_paths=hp.mid_paths)
+        t_mid = (f // m) * hp.mid_tile  # mid shift-map tile side, mid px
+        assert t_mid % 8 == 0 or t_mid == 4, f"unsupported mid tile {t_mid}px"
+        parts = []
+        for i in range(0, P, pack_m):
+            stats_i = list(banded_stats_pack(
+                lm[i : i + pack_m], rm[i : i + pack_m], s_m[i : i + pack_m],
+                pm, Bm, Gm, min_x=Dm, tile_px=4 if t_mid == 4 else 8,
+                interpret=interpret,
+            ))
+            disp_i = _assemble_disparity_pack(
+                stats_i, s_m[i : i + pack_m, :, Dm:], Wm, Dm, Dm, Bm, pm,
+                clr_backend, row_stack=False,
+            )
+            parts.append(jax.vmap(
+                lambda dm, k, dc, sm: _splice_coarse(dm, k, dc, sm, Bm, Dm, f // m)
+            )(disp_i, stats_i[1], disp_c[i : i + pack_m], s_m[i : i + pack_m]))
+        prior = jnp.concatenate(parts)
+        prior_hp = hp._replace(coarse_factor=m, coarse_fx=None)
+
     # 2. Shift maps.
-    s = jax.vmap(lambda d: shift_map(d, D, hp))(disp_c)
+    s = jax.vmap(lambda d: shift_map(d, D, prior_hp))(prior)
     if s.shape[1:] != (H, W):
         s = jnp.pad(
             s, ((0, 0), (0, H - s.shape[1]), (0, W - s.shape[2])), mode="edge"
@@ -638,7 +818,9 @@ def stereo_sgbm_hier_batch(
     # take the MIN — a mid-block realign on an 8-aligned axis sees a
     # zero delta and is an exact no-op (TestTile4Realign asymmetric
     # case), while SKIPPING one on a 4-px axis would run unaligned.
-    ty, tx = f * hp.tile, fx * hp.tile
+    pf = hp.mid_factor if hp.mid_factor is not None else f
+    pfx = hp.mid_factor if hp.mid_factor is not None else fx
+    ty, tx = pf * hp.tile, pfx * hp.tile
     for t_px in (ty, tx):
         assert t_px % 8 == 0 or t_px == 4, \
             f"unsupported shift tile {t_px}px (need 4 or a multiple of 8)"

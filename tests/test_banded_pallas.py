@@ -222,6 +222,34 @@ class TestHierBatch:
             )
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
 
+    def test_pack16_band8_two_level_matches_single_frame(self):
+        """The round-4 HIER8_FAST preset packs 16 frames (band 8) behind
+        a TWO-LEVEL prior: 4 coarse sub-packs (Dc=32), 2 mid sub-packs
+        (band 16 at 1/2 res) with the clamp-artifact splice, then the
+        16-frame band-8 full-res pass — all must reproduce per-frame
+        stereo_sgbm_hier (scan backend) bit-for-bit."""
+        from stereo_vision_tpu.stereo.hier import (
+            HIER8_FAST,
+            stereo_sgbm_hier,
+            stereo_sgbm_hier_batch,
+        )
+
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(16, Hh, Wh, 128, seed=13)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        batch = np.asarray(
+            stereo_sgbm_hier_batch(left, right, params, HIER8_FAST, interpret=True)
+        )
+        for b in range(16):
+            single = np.asarray(
+                stereo_sgbm_hier(left[b], right[b], params, HIER8_FAST)
+            )
+            np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
+
     def test_pallas_rowstack_assemble_matches_scan(self, monkeypatch):
         """The TPU default assemble (backend 'pallas' + row-stacked LR —
         ONE lr_fail_pallas dispatch over the (P*H, Wv) maps, hier_ab_r3k)
