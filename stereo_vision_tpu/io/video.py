@@ -154,6 +154,51 @@ def write_video(
     return path
 
 
+class VideoSink:
+    """Incremental mp4 writer: open once, append frames as they stream.
+
+    ``write_video`` takes the whole clip at once; buffering a streaming
+    pipeline's output that way is unbounded host memory (~2 MB/frame at
+    1080p grayscale). The sink writes each window's frames as they
+    arrive and sizes itself from the first frame.
+    """
+
+    def __init__(self, path: str | Path, fps: float = 30.0, is_rgb: bool = True):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.fps = float(fps)
+        self.is_rgb = is_rgb
+        self._vw = None
+        self.frames = 0
+
+    def append(self, frame: np.ndarray) -> None:
+        import cv2
+
+        f = np.asarray(frame)
+        if self._vw is None:
+            h, w = f.shape[0], f.shape[1]
+            self._vw = cv2.VideoWriter(
+                str(self.path), cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+            )
+        if f.ndim == 2:
+            f = np.stack([f] * 3, axis=-1)
+        elif self.is_rgb:
+            f = f[..., ::-1]  # RGB -> BGR for cv2
+        self._vw.write(np.ascontiguousarray(f, np.uint8))
+        self.frames += 1
+
+    def close(self) -> None:
+        if self._vw is not None:
+            self._vw.release()
+            self._vw = None
+
+    def __enter__(self) -> "VideoSink":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def create_synchronized_videos(
     left_video: str | Path,
     right_video: str | Path,

@@ -242,7 +242,7 @@ def cmd_stream(args) -> int:
 
     import jax.numpy as jnp
 
-    from stereo_vision_tpu.io.video import video_info, write_video
+    from stereo_vision_tpu.io.video import VideoSink, video_info
     from stereo_vision_tpu.ops.rectify import init_undistort_rectify_map
     from stereo_vision_tpu.parallel.mesh import create_mesh
     from stereo_vision_tpu.parallel.streaming import stream_video_pair
@@ -285,6 +285,22 @@ def cmd_stream(args) -> int:
     n_data = mesh.devices.shape[0]
     # sgbm_hier packs 128 // band frames per device program (HIER_FAST: 8).
     window = args.window or (8 * n_data)
+    # Upfront validation: a bad window otherwise fails deep inside jit
+    # sharding (or, for sgbm_hier, as an opaque Pallas pack-shape error).
+    if window % n_data != 0:
+        print(
+            f"--window {window} must be divisible by the data-axis device "
+            f"count {n_data}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.matcher == "sgbm_hier" and window // n_data != 8:
+        print(
+            f"--window {window}: sgbm_hier packs exactly 8 frames per device "
+            f"(HIER_FAST band 16) — use --window {8 * n_data}",
+            file=sys.stderr,
+        )
+        return 2
     if args.matcher == "bm":
         params = StereoBMParams(
             num_disparities=args.num_disparities, block_size=args.block_size
@@ -297,7 +313,10 @@ def cmd_stream(args) -> int:
 
     out_dir = Path(args.test_dir) / "results" / "stream"
     out_dir.mkdir(parents=True, exist_ok=True)
-    vis_frames: list[np.ndarray] = []
+    sink = (
+        VideoSink(args.video_out, fps=info["fps"] or 30.0)
+        if args.video_out else None
+    )
     per_frame: list[dict] = []
     n_frames = 0
     t0 = time.perf_counter()
@@ -309,6 +328,9 @@ def cmd_stream(args) -> int:
     ):
         for k in range(n_valid):
             d = disp[k]
+            # d == 0 is excluded (unlike cmd_disparity's d > -1 validity):
+            # depth statistics flow through Q, whose Q[3,3] ~ 0 maps
+            # disparity 0 to infinite depth — keeping it finite here.
             valid = d > 0
             z = pts[k, ..., 2][valid]
             per_frame.append({
@@ -316,16 +338,16 @@ def cmd_stream(args) -> int:
                 "valid_fraction": float(valid.mean()),
                 "median_depth_mm": float(np.median(z)) if z.size else None,
             })
-            if args.video_out:
+            if sink is not None:
                 vis = np.zeros_like(d)
                 if valid.any():
                     vis[valid] = d[valid] / max(float(d[valid].max()), 1e-6) * 255
-                vis_frames.append(vis.astype(np.uint8))
+                sink.append(vis.astype(np.uint8))
         n_frames += int(n_valid)
     dt = time.perf_counter() - t0
 
-    if args.video_out and vis_frames:
-        write_video(args.video_out, np.stack(vis_frames), fps=info["fps"] or 30.0)
+    if sink is not None:
+        sink.close()
     stats_path = out_dir / "stream_stats.json"
     with open(stats_path, "w") as f:
         json.dump(per_frame, f, indent=1)
