@@ -68,6 +68,15 @@ def main() -> None:
             mid_factor=2, mid_band=16, mid_granularity=8, mid_tile=2,
             mid_margin=4.0, mid_local_window=1, tile=2,
         ),
+        # coarse_factor=8 under the two-level prior: rejected in r3b for
+        # DIRECT band-16 placement (0.9893 bench), but the mid band has
+        # far more slack than the full-res band — and Dc=16 halves the
+        # coarse sub-pack count (2 calls instead of 4 at P=16).
+        "b8 c8": B8._replace(margin=1.5, coarse_factor=8),
+        "b8 c8 midm5": B8._replace(margin=1.5, coarse_factor=8, mid_margin=5.0),
+        "b8 c8 midlw2": B8._replace(
+            margin=1.5, coarse_factor=8, mid_local_window=2
+        ),
         "b8 m1.5 wm2": B8._replace(margin=1.5, wide_margin=2.0),
         "b8 m2.0 wm2": B8._replace(wide_margin=2.0),
         "b8 m2.0 wm4": B8._replace(wide_margin=4.0),

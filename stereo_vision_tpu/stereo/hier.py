@@ -475,6 +475,11 @@ def _assemble_fused(pack, du, W, min_x, params, interpret=False):
     return full.reshape(P, H, W)
 
 
+# A/B toggle: row-stack the MID-level assemble (one Pallas LR dispatch
+# over the (pack_m*Hm, Wm - Dm) maps per sub-pack) instead of per-frame
+# chains — the r3k full-res lesson applied at mid-map sizes.
+_MID_ASSEMBLE_ROWSTACK = False
+
 # LR backend for the COARSE assemble in stereo_sgbm_hier_batch ("auto"
 # resolves to the fused Pallas kernel on TPU). A/B on the chip
 # (benchmarks/hier_ab_r3d.py + _r3d2.py, 2026-08-18): the coarse scan-LR
@@ -690,24 +695,22 @@ def stereo_sgbm_hier(
     return full
 
 
-def stereo_sgbm_hier_batch(
+def hier_batch_prior(
     left: jnp.ndarray,
     right: jnp.ndarray,
-    params: StereoSGBMParams = StereoSGBMParams(),
-    hp: HierParams = HierParams(),
+    params: StereoSGBMParams,
+    hp: HierParams,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Batched hierarchical SGBM through the lane-packed Pallas kernels.
+):
+    """Stages 1/1b of :func:`stereo_sgbm_hier_batch`: the coarse pass
+    (and the optional mid level) through the packed kernels.
 
-    Args:
-      left, right: (P, H, W) with P = 128 // band frames — the pack
-        count that fills the 128-lane registers (4 at band=32).
-
-    Returns (P, H, W) float32 disparities (same convention as
-    :func:`stereo_sgbm_hier`; per-frame results are bit-identical to it
-    when both use the same coarse backend — tests/test_banded_pallas.py).
+    Returns (disp_c, prior, prior_hp): the coarse disparity pack, the
+    full-res prior pack (== disp_c without a mid level), and the
+    HierParams whose coarse_factor/tile describe the prior's geometry.
+    Exposed separately so stage-split benchmarks can time the prior
+    stack against the full pipeline (benchmarks/hier_split_r4.py).
     """
-    assert params.min_disparity == 0
     D = params.num_disparities
     B, G, f = hp.band, hp.granularity, hp.coarse_factor
     fx = hp.coarse_fx or f
@@ -795,13 +798,43 @@ def stereo_sgbm_hier_batch(
             ))
             disp_i = _assemble_disparity_pack(
                 stats_i, s_m[i : i + pack_m, :, Dm:], Wm, Dm, Dm, Bm, pm,
-                clr_backend, row_stack=False,
+                clr_backend, row_stack=_MID_ASSEMBLE_ROWSTACK,
             )
             parts.append(jax.vmap(
                 lambda dm, k, dc, sm: _splice_coarse(dm, k, dc, sm, Bm, Dm, f // m)
             )(disp_i, stats_i[1], disp_c[i : i + pack_m], s_m[i : i + pack_m]))
         prior = jnp.concatenate(parts)
         prior_hp = hp._replace(coarse_factor=m, coarse_fx=None)
+    return disp_c, prior, prior_hp
+
+
+def stereo_sgbm_hier_batch(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoSGBMParams = StereoSGBMParams(),
+    hp: HierParams = HierParams(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched hierarchical SGBM through the lane-packed Pallas kernels.
+
+    Args:
+      left, right: (P, H, W) with P = 128 // band frames — the pack
+        count that fills the 128-lane registers (4 at band=32).
+
+    Returns (P, H, W) float32 disparities (same convention as
+    :func:`stereo_sgbm_hier`; per-frame results are bit-identical to it
+    when both use the same coarse backend — tests/test_banded_pallas.py).
+    """
+    assert params.min_disparity == 0
+    D = params.num_disparities
+    B, G, f = hp.band, hp.granularity, hp.coarse_factor
+    fx = hp.coarse_fx or f
+    P, H, W = left.shape
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+
+    from stereo_vision_tpu.stereo.banded_pallas import banded_stats_pack
+
+    _, prior, prior_hp = hier_batch_prior(left, right, params, hp, interpret)
 
     # 2. Shift maps.
     s = jax.vmap(lambda d: shift_map(d, D, prior_hp))(prior)

@@ -234,3 +234,78 @@ class TestHier3PathAgreement:
     def test_big_jump(self):
         # Measured 0.9804 / epe 0.343; bar <= 1 px.
         self._run(bigjump_pair(), 0.978, 0.45)
+
+
+class TestHier8Agreement:
+    """HIER8_FAST (round 4): band-8 full-res refinement under the
+    two-level prior (1/2-res band-16 mid pass + clamp-artifact splice),
+    3-path, 16 frames per 128-lane pack. Measured 2026-08-20 (CPU scan
+    backend, D=128, 240x512): ramp 0.9811, occlusion 0.9845, repeated
+    texture 1.0000, 50-px-jump 0.9795 (benchmarks/hier_ab_r4a_agreement
+    .py; margin 1.5 arm). Single-level band 8 measured 0.71 in r3b —
+    the mid level is what makes band 8 usable."""
+
+    def _run(self, pair, thresh, epe_max):
+        from stereo_vision_tpu.stereo.hier import HIER8_FAST
+
+        left, right, _ = pair
+        ref = _cv_full(StereoSGBMParams(**FULL), left, right)
+        p = StereoSGBMParams(num_paths=3, **FULL)
+        mine = np.asarray(
+            stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, HIER8_FAST)
+        )
+        agree, epe, overlap = agreement(mine, ref)
+        assert agree >= thresh, (agree, epe, overlap)
+        assert epe <= epe_max, epe
+
+    def test_ramp_box(self):
+        self._run(synthetic_pair(h=240, w=512, max_disp=64, seed=0), 0.98, 0.3)
+
+    def test_occlusion(self):
+        self._run(occlusion_pair(h=240, w=512, maxd=64, seed=10), 0.983, 0.25)
+
+    def test_repeated_texture(self):
+        self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), 0.995, 0.02)
+
+    def test_big_jump(self):
+        # Measured 0.9795 / epe 0.433; bar <= 1 px.
+        self._run(bigjump_pair(), 0.978, 0.55)
+
+
+@pytest.mark.slow
+class TestDirectCv2PinBenchConfig:
+    """Verdict-r3 missing #2: the headline modes pinned DIRECTLY against
+    cv2.StereoSGBM MODE_HH at the bench configuration (1280x720, D=128,
+    full config #2) — previously the 720p agreement was only composed
+    (mode vs exact8 at 720p, exact8 vs cv2). Scan backend on CPU
+    (bit-identical to the Pallas path per tests/test_banded_pallas.py)."""
+
+    def _run(self, hp, thresh):
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from bench import _scene
+
+        left, right = _scene()
+        ref = _cv_full(
+            StereoSGBMParams(**FULL),
+            left.astype(np.uint8), right.astype(np.uint8),
+        )
+        p = StereoSGBMParams(num_paths=3, **FULL)
+        mine = np.asarray(
+            stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, hp)
+        )
+        agree, epe, overlap = agreement(mine, ref)
+        assert agree >= thresh, (agree, epe, overlap)
+        assert epe <= 1.0, epe
+
+    def test_hier16x3_720p(self):
+        from stereo_vision_tpu.stereo.hier import HIER_FAST
+
+        self._run(HIER_FAST, 0.98)
+
+    def test_hier8x3_720p(self):
+        from stereo_vision_tpu.stereo.hier import HIER8_FAST
+
+        self._run(HIER8_FAST, 0.98)
