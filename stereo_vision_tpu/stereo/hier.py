@@ -156,20 +156,27 @@ HIER_FAST = HierParams(
 )
 
 
-# Round-4 band-8 preset: a TWO-LEVEL prior (1/2-res band-16 mid pass fed
+# Round-4 band-8 preset: a TWO-LEVEL prior (1/2-res banded mid pass fed
 # by the 1/4-res coarse, HierParams.mid_*) tightens the prior enough for
 # an 8-lane full-res band — 16 frames per 128-lane program, halving the
 # band-proportional kernel cost again (docs/sgbm_roofline.md "Round 4a").
-# The single-level band 8 was rejected in r3b at 0.71 agreement; with
-# the mid level + clamp-artifact splice (_splice_coarse) all four
-# adversarial pins hold (benchmarks/hier_ab_r4a_agreement.py, 3-path:
-# ramp 0.9811 / occl 0.9845 / reptex 1.0000 / bigjump 0.9795 vs bars
-# 0.98/0.983/0.995/0.978). Full tile side = mid_factor*tile = 4 px;
-# mid tile side = (coarse_factor/mid_factor)*mid_tile = 4 px.
+# The single-level band 8 was rejected in r3b at 0.71 agreement; the mid
+# level + clamp-artifact splice (_splice_coarse) is what makes it hold
+# all four adversarial pins. Mid configuration measured in two rounds of
+# A/B (hier_ab_r4d_agreement.py pins + hier_ab_r4e.py chip):
+#   mid band 16/4-path  261.2 Mpx/s   (the first passing config)
+#   mid band 8/4-path   285.5         (ONE 16-frame mid pack)
+#   mid band 8/2-path   292.0         (vertical-pair-only mid reduce;
+#       mid_paths=3 FAILS the occl pin — asymmetric L->R-only smoothing
+#       is worse for band placement than none)
+# Pins (CPU, 3-path full-res, 240x512): ramp 0.9807 / occl 0.9845 /
+# reptex 1.0000 / bigjump 0.9800 vs bars 0.98/0.983/0.995/0.978.
+# Full tile side = mid_factor*tile = 4 px; mid tile side =
+# (coarse_factor/mid_factor)*mid_tile = 4 px.
 HIER8_FAST = HIER_FAST._replace(
     band=8, granularity=4, tile=2, margin=1.5,
-    mid_factor=2, mid_band=16, mid_granularity=8, mid_tile=2,
-    mid_margin=4.0, mid_local_window=1,
+    mid_factor=2, mid_band=8, mid_granularity=4, mid_tile=2,
+    mid_margin=2.5, mid_local_window=1, mid_paths=2,
 )
 
 
