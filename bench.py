@@ -23,9 +23,10 @@ Candidate modes (all full StereoSGBMParams semantics incl. speckle):
              benchmarks/paths2_agreement*.py + hier_ab_r3i.py; 2-path
              measured BELOW the 0.98 bar on the big-jump scene and is
              not a candidate)
-  hier8x3  — round-4 two-level preset (HIER8_FAST): a 1/2-res band-16
-             mid pass tightens the prior for an 8-lane full-res band —
-             16 frames per 128-lane pack (benchmarks/hier_ab_r4a/b)
+  hier8x3  — round-4 two-level preset (HIER8_FAST): a 1/2-res band-8
+             2-path mid pass tightens the prior for an 8-lane full-res
+             band — 16 frames per 128-lane pack, one 16-frame mid pack
+             (benchmarks/hier_ab_r4a/b/d/e)
 
 The agreement gate takes the MINIMUM across three 720p scenes (ramp+box,
 true-occlusion composite, 110 px near-D-limit jump) so a mode cannot

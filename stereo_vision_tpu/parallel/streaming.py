@@ -55,13 +55,16 @@ def batched_stereo_pipeline(
         # B == 128 // band: pass hier_params explicitly, or it is chosen
         # by the batch size (8 -> HIER_FAST band 16, 4 -> band-32 default).
         from stereo_vision_tpu.stereo.hier import (
+            HIER8_FAST,
             HIER_FAST,
             HierParams,
             stereo_sgbm_hier_batch,
         )
 
         if hier_params is None:
-            hier_params = HIER_FAST if left.shape[0] == 8 else HierParams()
+            hier_params = {8: HIER_FAST, 16: HIER8_FAST}.get(
+                left.shape[0], HierParams()
+            )
 
         def prep(m):
             def one(x):
