@@ -41,8 +41,13 @@ class FrameRing:
     """Fixed-capacity blocking ring of equal-sized uint8 windows.
 
     Native-backed (C++ mutex/condvar, GIL-free waits) when the extension
-    builds; otherwise a bounded ``queue.Queue``. Single producer is
-    assumed for seq ordering (seqs are 0,1,2,... in put order either way).
+    builds; otherwise a bounded ``queue.Queue``. Both backends are MPMC:
+    seqs are dense 0,1,2,... in publish order under any number of
+    producers/consumers (tests/test_loader.py TestFrameRingMPMC). The
+    fallback serializes producers on a lock for the claim+enqueue pair —
+    an unlocked read-then-increment of ``_seq`` double-assigns seqs
+    under producer contention (caught by the r4 stress test), and
+    enqueue-after-claim without the lock would publish out of seq order.
     """
 
     def __init__(self, slots: int, slot_shape: tuple[int, ...]):
@@ -57,6 +62,7 @@ class FrameRing:
             self._q = queue.Queue(maxsize=int(slots))
             self._seq = 0
             self._closed = threading.Event()
+            self._plock = threading.Lock()
 
     # -- producer side -------------------------------------------------
     def put_gray(self, rgb: np.ndarray) -> int:
@@ -86,16 +92,17 @@ class FrameRing:
         return self._put_fallback(window.copy())
 
     def _put_fallback(self, arr: np.ndarray) -> int:
-        seq = self._seq
-        while True:
-            if self._closed.is_set():
-                raise RuntimeError("put on closed ring")
-            try:
-                self._q.put((seq, arr), timeout=0.05)
-            except queue.Full:
-                continue
-            self._seq += 1
-            return seq
+        with self._plock:
+            while True:
+                if self._closed.is_set():
+                    raise RuntimeError("put on closed ring")
+                try:
+                    self._q.put((self._seq, arr), timeout=0.05)
+                except queue.Full:
+                    continue
+                seq = self._seq
+                self._seq += 1
+                return seq
 
     # -- consumer side ---------------------------------------------------
     def get(self, timeout: float | None = None) -> tuple[int, np.ndarray] | None:
