@@ -279,7 +279,9 @@ class TestDirectCv2PinBenchConfig:
     cv2.StereoSGBM MODE_HH at the bench configuration (1280x720, D=128,
     full config #2) — previously the 720p agreement was only composed
     (mode vs exact8 at 720p, exact8 vs cv2). Scan backend on CPU
-    (bit-identical to the Pallas path per tests/test_banded_pallas.py)."""
+    (bit-identical to the Pallas path per tests/test_banded_pallas.py).
+    Measured 2026-08-20: hier16x3 0.9912 / epe 0.100, hier8x3 0.9911 /
+    epe 0.108 — comfortably above the composed estimate."""
 
     def _run(self, hp, thresh):
         import sys as _sys
