@@ -29,6 +29,26 @@ from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
 from stereo_vision_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
 
+def _frame_stats(disp: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) disparity + (B, H, W, 3) points -> (B, 2) per-frame
+    [valid_fraction, median_depth] computed ON DEVICE.
+
+    Shipping full disparity+points windows to the host costs ~15 MB per
+    720p frame; when the consumer only wants per-frame statistics (the
+    `stream` CLI without --video-out) this reduces host transfer to two
+    floats per frame — the difference between transfer-bound and
+    compute-bound streaming on any host whose device link is slower
+    than the matcher (measured: the remote-tunnel dev box streams at
+    ~1 fps shipping volumes vs decode 245 fps; docs/stream_e2e.md).
+    d == 0 is excluded from validity to keep depth finite through Q
+    (Q[3,3] ~ 0 maps disparity 0 to infinity)."""
+    valid = disp > 0
+    vf = valid.mean(axis=(1, 2))
+    z = jnp.where(valid, pts[..., 2], jnp.nan)
+    med = jnp.nanmedian(z, axis=(1, 2))
+    return jnp.stack([vf, med], axis=-1)
+
+
 def batched_stereo_pipeline(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -37,11 +57,14 @@ def batched_stereo_pipeline(
     matcher: str = "sgbm",
     params: StereoBMParams | StereoSGBMParams | None = None,
     hier_params=None,
+    stats_only: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W) raw pairs -> (disparity (B, H, W), points3d (B, H, W, 3)).
 
     One traced program: remap both views, run the dense matcher, reproject
     through Q. vmap carries the batch axis; shard the inputs to distribute.
+    With ``stats_only`` the program instead returns the (B, 2) per-frame
+    [valid_fraction, median_depth] array (see :func:`_frame_stats`).
     """
     mx1, my1, mx2, my2 = maps
     H, W = mx1.shape
@@ -80,6 +103,8 @@ def batched_stereo_pipeline(
             interpret=jax.default_backend() in ("cpu", "gpu"),
         )
         pts = jax.vmap(lambda d: reproject_disparity_to_3d(d, Q))(disp)
+        if stats_only:
+            return _frame_stats(disp, pts)
         return disp, pts
 
     def one(l, r):
@@ -96,7 +121,10 @@ def batched_stereo_pipeline(
         pts = reproject_disparity_to_3d(disp, Q)
         return disp, pts
 
-    return jax.vmap(one)(left, right)
+    disp, pts = jax.vmap(one)(left, right)
+    if stats_only:
+        return _frame_stats(disp, pts)
+    return disp, pts
 
 
 def make_sharded_pipeline(
@@ -106,6 +134,7 @@ def make_sharded_pipeline(
     matcher: str = "sgbm",
     params=None,
     hier_params=None,
+    stats_only: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]:
     """jit the batched pipeline with stream-batch sharding over ``data``.
 
@@ -113,26 +142,29 @@ def make_sharded_pipeline(
     by the mesh's data-axis size. For ``sgbm_hier`` the pipeline runs under
     shard_map so each device gets a full 128-lane pack (B per device must
     equal 128 // band); bm/sgbm are vmapped per frame and partition under
-    plain jit+shardings.
+    plain jit+shardings. ``stats_only``: the program returns only the
+    (B, 2) per-frame stats (see :func:`_frame_stats`).
     """
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
+    out_spec = P(DATA_AXIS) if stats_only else (P(DATA_AXIS), P(DATA_AXIS))
+    out_sh = batch_sh if stats_only else (batch_sh, batch_sh)
 
     fn = functools.partial(
         batched_stereo_pipeline, maps=maps, Q=Q, matcher=matcher,
-        params=params, hier_params=hier_params,
+        params=params, hier_params=hier_params, stats_only=stats_only,
     )
     if matcher == "sgbm_hier":
         fn = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=out_spec,
             check_vma=False,
         )
     jfn = jax.jit(
         fn,
         in_shardings=(batch_sh, batch_sh),
-        out_shardings=(batch_sh, batch_sh),
+        out_shardings=out_sh,
     )
 
     def run(left, right):
@@ -194,6 +226,7 @@ def stream_video_pair(
     right_start: int = 0,
     max_frames: int | None = None,
     depth: int = 3,
+    stats_only: bool = False,
 ):
     """Decode → disparity → 3D streaming over a synchronized video pair.
 
@@ -208,7 +241,10 @@ def stream_video_pair(
     Yields ``(seq, disparity (T, H, W), points3d (T, H, W, 3), n_valid)``
     per window, in stream order; the final window is padded to the window
     size with ``n_valid`` marking the real frames. ``window`` must match
-    the matcher's pack size for ``sgbm_hier`` (8 for HIER_FAST).
+    the matcher's pack size for ``sgbm_hier`` (8 for HIER_FAST). With
+    ``stats_only`` the per-frame stats stay on device until the yield and
+    the tuple becomes ``(seq, stats (T, 2), None, n_valid)`` — two floats
+    per frame of host transfer instead of ~15 MB (see _frame_stats).
     """
     import collections
 
@@ -219,7 +255,19 @@ def stream_video_pair(
         left_start=left_start, right_start=right_start,
         max_frames=max_frames, depth=depth,
     )
-    fn = make_sharded_pipeline(mesh, maps, Q, matcher, params, hier_params)
+    fn = make_sharded_pipeline(
+        mesh, maps, Q, matcher, params, hier_params, stats_only=stats_only
+    )
+
+    def emit(item):
+        s, nv, out = item
+        if stats_only:
+            jax.block_until_ready(out)
+            return s, np.asarray(out), None, nv
+        disp, pts = out
+        jax.block_until_ready(disp)
+        return s, np.asarray(disp), np.asarray(pts), nv
+
     inflight: collections.deque = collections.deque()
     try:
         for seq, wl, wr, n_valid in loader:
@@ -227,12 +275,8 @@ def stream_video_pair(
             # loader thread decodes the next one.
             inflight.append((seq, n_valid, fn(wl, wr)))
             if len(inflight) > 1:
-                s, nv, (disp, pts) = inflight.popleft()
-                jax.block_until_ready(disp)
-                yield s, np.asarray(disp), np.asarray(pts), nv
+                yield emit(inflight.popleft())
         while inflight:
-            s, nv, (disp, pts) = inflight.popleft()
-            jax.block_until_ready(disp)
-            yield s, np.asarray(disp), np.asarray(pts), nv
+            yield emit(inflight.popleft())
     finally:
         loader.close()

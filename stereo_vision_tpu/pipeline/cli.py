@@ -319,14 +319,29 @@ def cmd_stream(args) -> int:
     )
     per_frame: list[dict] = []
     n_frames = 0
+    t_first = None  # end of the FIRST window: excludes the jit compile
+    n_first = 0
     t0 = time.perf_counter()
+    # Without --video-out the per-frame stats are computed ON DEVICE and
+    # only two floats/frame cross the host link (streaming._frame_stats —
+    # shipping full disparity+points windows costs ~15 MB per 720p frame
+    # and turns the stream transfer-bound on slow device links).
+    stats_only = sink is None
     for seq, disp, pts, n_valid in stream_video_pair(
         args.left, args.right, mesh, maps, jnp.asarray(Q),
         matcher=args.matcher, params=params, window=window,
         left_start=max(0, -offset), right_start=max(0, offset),
-        max_frames=args.max_frames,
+        max_frames=args.max_frames, stats_only=stats_only,
     ):
         for k in range(n_valid):
+            if stats_only:
+                vf, med = float(disp[k, 0]), float(disp[k, 1])
+                per_frame.append({
+                    "frame": seq * window + k,
+                    "valid_fraction": vf,
+                    "median_depth_mm": None if np.isnan(med) else med,
+                })
+                continue
             d = disp[k]
             # d == 0 is excluded (unlike cmd_disparity's d > -1 validity):
             # depth statistics flow through Q, whose Q[3,3] ~ 0 maps
@@ -338,13 +353,17 @@ def cmd_stream(args) -> int:
                 "valid_fraction": float(valid.mean()),
                 "median_depth_mm": float(np.median(z)) if z.size else None,
             })
-            if sink is not None:
-                vis = np.zeros_like(d)
-                if valid.any():
-                    vis[valid] = d[valid] / max(float(d[valid].max()), 1e-6) * 255
-                sink.append(vis.astype(np.uint8))
+            vis = np.zeros_like(d)
+            if valid.any():
+                vis[valid] = d[valid] / max(float(d[valid].max()), 1e-6) * 255
+            sink.append(vis.astype(np.uint8))
         n_frames += int(n_valid)
+        if t_first is None:
+            t_first = time.perf_counter()
+            n_first = n_frames
     dt = time.perf_counter() - t0
+    dt_steady = (time.perf_counter() - t_first) if t_first is not None else 0.0
+    n_steady = n_frames - n_first
 
     if sink is not None:
         sink.close()
@@ -358,8 +377,10 @@ def cmd_stream(args) -> int:
         "size": list(size),
         "frame_offset": offset,
         "fps": n_frames / dt if dt > 0 else None,
+        "fps_steady": n_steady / dt_steady if n_steady and dt_steady > 0 else None,
         "mpx_per_s": n_frames * size[0] * size[1] / dt / 1e6 if dt > 0 else None,
-        "note": "wall fps includes the one-time jit compile of the window program",
+        "note": "fps includes the one-time jit compile of the window "
+                "program; fps_steady excludes the first window",
         "stats": str(stats_path),
         **({"video_out": str(args.video_out)} if args.video_out else {}),
     }
