@@ -72,10 +72,8 @@ def main() -> None:
         )
 
     variants = {
-        "coarse": lambda l, r: hier_batch_prior(
-            l, r, p3, HIER8_FAST._replace(mid_factor=None)
-        )[0],
-        "prior": lambda l, r: hier_batch_prior(l, r, p3, HIER8_FAST)[1],
+        # full first: its program is warm in the remote compile cache
+        # from bench.py, so a hang here means the tunnel, not the shape.
         "full": lambda l, r: stereo_sgbm_hier_batch(l, r, p3, HIER8_FAST),
         "fullnsp": lambda l, r: stereo_sgbm_hier_batch(
             l, r, p3._replace(speckle_window_size=0), HIER8_FAST
@@ -83,7 +81,13 @@ def main() -> None:
         "fullnlr": lambda l, r: stereo_sgbm_hier_batch(
             l, r, p3._replace(disp12_max_diff=-1), HIER8_FAST
         ),
+        "prior": lambda l, r: hier_batch_prior(l, r, p3, HIER8_FAST)[1],
+        "coarse": lambda l, r: hier_batch_prior(
+            l, r, p3, HIER8_FAST._replace(mid_factor=None)
+        )[0],
     }
+    if len(sys.argv) > 1:
+        variants = {k: v for k, v in variants.items() if sys.argv[1] in k}
     for label, fn in variants.items():
         try:
             timed(fn, label)

@@ -51,6 +51,30 @@ from stereo_vision_tpu.stereo.sgbm import (
 from stereo_vision_tpu.stereo.postprocess import speckle_filter
 
 
+class MidLevel(NamedTuple):
+    """One intermediate refinement level of the prior pyramid (round 4).
+
+    factor: resolution factor vs FULL res (levels are ordered coarse to
+      fine, strictly decreasing, each dividing the previous).
+    band/granularity/tile/margin/local_window: the level's banded-search
+      and shift-map parameters (tile is in PREVIOUS-level pixels; the
+      level's shift-map tile side in its own pixels is
+      (prev_factor // factor) * tile and must be 4 px or a multiple
+      of 8 for the Pallas reduce kernels).
+    paths: SGM path count of the level's aggregation (2 = vertical pair;
+      3 measured WORSE than 2 for priors — asymmetric smoothing biases
+      band placement, docs/sgbm_roofline.md "Round 4c").
+    """
+
+    factor: int
+    band: int
+    granularity: int
+    tile: int = 2
+    margin: float = 2.5
+    local_window: int = 1
+    paths: int = 2
+
+
 class HierParams(NamedTuple):
     """Coarse-to-fine configuration.
 
@@ -118,6 +142,10 @@ class HierParams(NamedTuple):
     mid_margin: float = 4.0
     mid_local_window: int = 1
     mid_paths: int = 4
+    # General form of the prior pyramid: an ordered tuple of MidLevel
+    # entries (coarse to fine). When set it SUPERSEDES the single-level
+    # mid_* fields above (which remain as the one-level shorthand).
+    mid_levels: tuple = ()
     # ---- adaptive band placement (round 4, the 2-path rescue): on
     # tiles whose pooled local range EXCEEDS the band (prior
     # discontinuities — exactly where the 2-path mode loses its 0.0003
@@ -178,6 +206,17 @@ HIER8_FAST = HIER_FAST._replace(
     mid_factor=2, mid_band=8, mid_granularity=4, mid_tile=2,
     mid_margin=2.5, mid_local_window=1, mid_paths=2,
 )
+
+# A DEEP pyramid (coarse 1/8 -> band-16 @ 1/4 -> band-8 @ 1/2 -> band-8
+# full; every level bridging only a 2x gap) was the r4 candidate for
+# cutting the 0.51 ms/frame coarse cost — MEASURED REJECTED
+# (benchmarks/hier_ab_r4g_agreement.py): bigjump pins at 0.968 for
+# EVERY L1 configuration (paths/margin/lw invariant — and 4-path L1
+# actually improves occl to 0.9915), i.e. the 1/8-res FULL-RANGE search
+# itself loses the jump structure and no downstream refinement can
+# recover what the coarse never saw. The 1/4-res 4-path coarse is
+# load-bearing; the mid_levels machinery stays (exactness-tested) for
+# deeper-range configs (e.g. D=256) where the first gap is wider.
 
 
 def _pool_mat(n: int, nc: int, f: int) -> jnp.ndarray:
@@ -588,17 +627,31 @@ def _splice_coarse(
     return jnp.where(good_mid, disp_m, cu)
 
 
-def _mid_params(hp: HierParams) -> HierParams:
-    """shift_map parameters of the MID level: its prior is the coarse
-    disparity, coarse_factor // mid_factor times coarser than the mid
-    images."""
-    assert hp.coarse_fx is None, "mid level assumes square coarse factors"
-    assert hp.coarse_factor % hp.mid_factor == 0
+def _prior_levels(hp: HierParams) -> tuple[MidLevel, ...]:
+    """The ordered (coarse-to-fine) intermediate levels of the prior
+    pyramid: ``mid_levels`` when set, else the single-level ``mid_*``
+    shorthand, else none."""
+    if hp.mid_levels:
+        return tuple(hp.mid_levels)
+    if hp.mid_factor is not None:
+        return (MidLevel(
+            hp.mid_factor, hp.mid_band, hp.mid_granularity, hp.mid_tile,
+            hp.mid_margin, hp.mid_local_window, hp.mid_paths,
+        ),)
+    return ()
+
+
+def _level_shift_params(hp: HierParams, lv: MidLevel, prev_f: int) -> HierParams:
+    """shift_map parameters for pyramid level ``lv``: its prior comes
+    from the previous level at ``prev_f // lv.factor`` times its own
+    resolution."""
+    assert hp.coarse_fx is None, "prior pyramid assumes square coarse factors"
+    assert prev_f % lv.factor == 0 and prev_f > lv.factor, (prev_f, lv.factor)
     return HierParams(
-        band=hp.mid_band, granularity=hp.mid_granularity,
-        coarse_factor=hp.coarse_factor // hp.mid_factor,
-        tile=hp.mid_tile, margin=hp.mid_margin,
-        local_window=hp.mid_local_window, anchor_hi=hp.anchor_hi,
+        band=lv.band, granularity=lv.granularity,
+        coarse_factor=prev_f // lv.factor,
+        tile=lv.tile, margin=lv.margin,
+        local_window=lv.local_window, anchor_hi=hp.anchor_hi,
         wide_margin=hp.wide_margin,
     )
 
@@ -649,29 +702,37 @@ def stereo_sgbm_hier(
             stride=hp.coarse_stride,
         )
 
-    # 1b. Optional MID level: banded refinement of the coarse prior at
-    # 1/mid_factor resolution (same core, mid_band lanes); its subpixel
-    # disparity becomes the full-res prior, tight enough for bands < 16.
-    prior, prior_hp = disp_c, hp
-    if hp.mid_factor is not None:
+    # 1b. Optional MID levels (prior pyramid): banded refinements of the
+    # coarse prior at decreasing factors (same core, each level's
+    # subpixel disparity spliced with its predecessor becomes the next
+    # prior) — tight enough for full-res bands < 16.
+    prior, prev_f, prior_hp = disp_c, f, hp
+    levels = _prior_levels(hp)
+    if levels:
         from stereo_vision_tpu.stereo.banded import banded_stats_scan
 
-        m = hp.mid_factor
-        assert f % m == 0 and D % m == 0 and hp.mid_band % 8 == 0
-        Dm, Bm, Gm = D // m, hp.mid_band, hp.mid_granularity
-        lm, rm = _downsample_box(left, m), _downsample_box(right, m)
-        s_m = shift_map(disp_c, Dm, _mid_params(hp))
-        Hm, Wm = lm.shape
-        if s_m.shape != (Hm, Wm):
-            s_m = jnp.pad(
-                s_m, ((0, Hm - s_m.shape[0]), (0, Wm - s_m.shape[1])),
-                mode="edge",
+        for lv in levels:
+            m = lv.factor
+            assert D % m == 0 and lv.band % 8 == 0
+            Dm, Bm, Gm = D // m, lv.band, lv.granularity
+            lm, rm = _downsample_box(left, m), _downsample_box(right, m)
+            s_m = shift_map(prior, Dm, _level_shift_params(hp, lv, prev_f))
+            Hm, Wm = lm.shape
+            if s_m.shape != (Hm, Wm):
+                s_m = jnp.pad(
+                    s_m, ((0, Hm - s_m.shape[0]), (0, Wm - s_m.shape[1])),
+                    mode="edge",
+                )
+            pm = _coarse_params(params, D, m, hp)._replace(num_paths=lv.paths)
+            stats_m = banded_stats_scan(lm, rm, s_m, pm, Bm, Gm, min_x=Dm)
+            disp_m = _assemble_disparity(
+                stats_m, s_m[:, Dm:], Wm, Dm, Dm, Bm, pm, "scan"
             )
-        pm = _coarse_params(params, D, m, hp)._replace(num_paths=hp.mid_paths)
-        stats_m = banded_stats_scan(lm, rm, s_m, pm, Bm, Gm, min_x=Dm)
-        disp_m = _assemble_disparity(stats_m, s_m[:, Dm:], Wm, Dm, Dm, Bm, pm, "scan")
-        prior = _splice_coarse(disp_m, stats_m[1], disp_c, s_m, Bm, Dm, f // m)
-        prior_hp = hp._replace(coarse_factor=m, coarse_fx=None)
+            prior = _splice_coarse(
+                disp_m, stats_m[1], prior, s_m, Bm, Dm, prev_f // m
+            )
+            prev_f = m
+        prior_hp = hp._replace(coarse_factor=prev_f, coarse_fx=None)
 
     # 2. Shift map.
     s = shift_map(prior, D, prior_hp)
@@ -768,16 +829,18 @@ def hier_batch_prior(
         for i in range(0, P, pack_c)
     ])
 
-    # 1b. Optional MID level through the SAME packed kernels (see
-    # stereo_sgbm_hier): band Bm around the coarse prior at 1/m res;
-    # the spliced mid disparity becomes the full-res prior.
-    prior, prior_hp = disp_c, hp
-    if hp.mid_factor is not None:
-        m = hp.mid_factor
-        assert f % m == 0 and D % m == 0
-        Dm, Bm, Gm = D // m, hp.mid_band, hp.mid_granularity
+    # 1b. Optional MID levels (prior pyramid) through the SAME packed
+    # kernels (see stereo_sgbm_hier): each level refines the previous
+    # prior with its own band at 1/factor res; the spliced disparity
+    # becomes the next prior.
+    prior, prev_f, prior_hp = disp_c, f, hp
+    levels = _prior_levels(hp)
+    for lv in levels:
+        m = lv.factor
+        assert D % m == 0
+        Dm, Bm, Gm = D // m, lv.band, lv.granularity
         pack_m = 128 // Bm
-        assert P % pack_m == 0, f"pack {P} not a multiple of mid pack {pack_m}"
+        assert P % pack_m == 0, f"pack {P} not a multiple of level pack {pack_m}"
         if _DS_PALLAS and (on_tpu or interpret) and 8 % m == 0 and H % 8 == 0:
             lm = downsample_box_pack(left, m, interpret=interpret)
             rm = downsample_box_pack(right, m, interpret=interpret)
@@ -785,22 +848,23 @@ def hier_batch_prior(
             lm = _downsample_box(left, m)
             rm = _downsample_box(right, m)
         Hm, Wm = lm.shape[1:]
-        hpm = _mid_params(hp)
-        s_m = jax.vmap(lambda d: shift_map(d, Dm, hpm))(disp_c)
+        hpm = _level_shift_params(hp, lv, prev_f)
+        s_m = jax.vmap(lambda d: shift_map(d, Dm, hpm))(prior)
         if s_m.shape[1:] != (Hm, Wm):
             s_m = jnp.pad(
                 s_m,
                 ((0, 0), (0, Hm - s_m.shape[1]), (0, Wm - s_m.shape[2])),
                 mode="edge",
             )
-        pm = _coarse_params(params, D, m, hp)._replace(num_paths=hp.mid_paths)
-        t_mid = (f // m) * hp.mid_tile  # mid shift-map tile side, mid px
-        assert t_mid % 8 == 0 or t_mid == 4, f"unsupported mid tile {t_mid}px"
+        pm = _coarse_params(params, D, m, hp)._replace(num_paths=lv.paths)
+        t_lv = (prev_f // m) * lv.tile  # level shift-map tile side, level px
+        assert t_lv % 8 == 0 or t_lv == 4, f"unsupported level tile {t_lv}px"
+        fc = prev_f // m
         parts = []
         for i in range(0, P, pack_m):
             stats_i = list(banded_stats_pack(
                 lm[i : i + pack_m], rm[i : i + pack_m], s_m[i : i + pack_m],
-                pm, Bm, Gm, min_x=Dm, tile_px=4 if t_mid == 4 else 8,
+                pm, Bm, Gm, min_x=Dm, tile_px=4 if t_lv == 4 else 8,
                 interpret=interpret,
             ))
             disp_i = _assemble_disparity_pack(
@@ -808,10 +872,12 @@ def hier_batch_prior(
                 clr_backend, row_stack=_MID_ASSEMBLE_ROWSTACK,
             )
             parts.append(jax.vmap(
-                lambda dm, k, dc, sm: _splice_coarse(dm, k, dc, sm, Bm, Dm, f // m)
-            )(disp_i, stats_i[1], disp_c[i : i + pack_m], s_m[i : i + pack_m]))
+                lambda dm, k, dc, sm: _splice_coarse(dm, k, dc, sm, Bm, Dm, fc)
+            )(disp_i, stats_i[1], prior[i : i + pack_m], s_m[i : i + pack_m]))
         prior = jnp.concatenate(parts)
-        prior_hp = hp._replace(coarse_factor=m, coarse_fx=None)
+        prev_f = m
+    if levels:
+        prior_hp = hp._replace(coarse_factor=prev_f, coarse_fx=None)
     return disp_c, prior, prior_hp
 
 
@@ -858,8 +924,9 @@ def stereo_sgbm_hier_batch(
     # take the MIN — a mid-block realign on an 8-aligned axis sees a
     # zero delta and is an exact no-op (TestTile4Realign asymmetric
     # case), while SKIPPING one on a 4-px axis would run unaligned.
-    pf = hp.mid_factor if hp.mid_factor is not None else f
-    pfx = hp.mid_factor if hp.mid_factor is not None else fx
+    levels = _prior_levels(hp)
+    pf = levels[-1].factor if levels else f
+    pfx = levels[-1].factor if levels else fx
     ty, tx = pf * hp.tile, pfx * hp.tile
     for t_px in (ty, tx):
         assert t_px % 8 == 0 or t_px == 4, \

@@ -250,6 +250,41 @@ class TestHierBatch:
             )
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
 
+    def test_two_level_pyramid_matches_single_frame(self):
+        """The generalized mid_levels chain (two intermediate levels,
+        1/8 coarse) must stay bit-exact batch-vs-scan. This CONFIG is
+        quality-rejected for the bench (hier_ab_r4g_agreement.py: the
+        1/8 coarse loses jump structure) — the machinery stays exact for
+        deeper-range configs, and this pins the multi-level loop in
+        both paths."""
+        from stereo_vision_tpu.stereo.hier import (
+            HIER8_FAST,
+            MidLevel,
+            stereo_sgbm_hier,
+            stereo_sgbm_hier_batch,
+        )
+
+        hp = HIER8_FAST._replace(
+            coarse_factor=8,
+            mid_levels=(
+                MidLevel(4, 16, 8, tile=2, margin=4.0, local_window=1, paths=2),
+                MidLevel(2, 8, 4, tile=2, margin=2.5, local_window=1, paths=2),
+            ),
+        )
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(16, Hh, Wh, 128, seed=23)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        batch = np.asarray(
+            stereo_sgbm_hier_batch(left, right, params, hp, interpret=True)
+        )
+        for b in range(0, 16, 5):  # spot-check 4 of the 16 frames
+            single = np.asarray(stereo_sgbm_hier(left[b], right[b], params, hp))
+            np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
+
     def test_pallas_rowstack_assemble_matches_scan(self, monkeypatch):
         """The TPU default assemble (backend 'pallas' + row-stacked LR —
         ONE lr_fail_pallas dispatch over the (P*H, Wv) maps, hier_ab_r3k)
