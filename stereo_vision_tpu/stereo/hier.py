@@ -205,6 +205,13 @@ HIER8_FAST = HIER_FAST._replace(
     band=8, granularity=4, tile=2, margin=1.5,
     mid_factor=2, mid_band=8, mid_granularity=4, mid_tile=2,
     mid_margin=2.5, mid_local_window=1, mid_paths=2,
+    # Speckle diameter cap 4 (r4h chip A/B: cap8 291.6 / cap6 297.2 /
+    # cap4 302.8 Mpx/s; CPU pins deterministic and all PASS at each cap
+    # — cap4 bigjump 0.9792 vs bar 0.978, occl 0.9840 vs 0.983). The
+    # cap is one-sided vs cv2 (keeps blobs of diameter > 4 with area
+    # <= 100); the bench's in-run 3-scene gate measures the actual 720p
+    # divergence vs exact8 and would fall back to hier16x3 below 0.98.
+    speckle_diameter=4,
 )
 
 # A DEEP pyramid (coarse 1/8 -> band-16 @ 1/4 -> band-8 @ 1/2 -> band-8

@@ -240,11 +240,11 @@ class TestHier8Agreement:
     """HIER8_FAST (round 4): band-8 full-res refinement under the
     two-level prior (1/2-res band-8 2-path mid pass + clamp-artifact
     splice), 3-path, 16 frames per 128-lane pack. Measured 2026-08-20
-    (CPU scan backend, D=128, 240x512): ramp 0.9807, occlusion 0.9845,
-    repeated texture 1.0000, 50-px-jump 0.9800
-    (benchmarks/hier_ab_r4d_agreement.py "midp2+midb8 mm2.5" arm; chip
-    292.0 Mpx/s, hier_ab_r4e.py). Single-level band 8 measured 0.71 in
-    r3b — the mid level is what makes band 8 usable."""
+    (CPU scan backend, D=128, 240x512, speckle cap 4): ramp 0.9807,
+    occlusion 0.9840, repeated texture 1.0000, 50-px-jump 0.9792
+    (benchmarks/hier_ab_r4d_agreement.py + the r4h speckle-cap sweep;
+    chip 302.8 Mpx/s). Single-level band 8 measured 0.71 in r3b — the
+    mid level is what makes band 8 usable."""
 
     def _run(self, pair, thresh, epe_max):
         from stereo_vision_tpu.stereo.hier import HIER8_FAST
