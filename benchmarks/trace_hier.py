@@ -20,10 +20,17 @@ def main() -> None:
 
     from bench import _scene, H, W, D
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
-    from stereo_vision_tpu.stereo.hier import HIER_FAST, stereo_sgbm_hier_batch
+    from stereo_vision_tpu.stereo.hier import (
+        HIER8_FAST,
+        HIER_FAST,
+        stereo_sgbm_hier_batch,
+    )
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "hier16"
+    HP = {"hier16": HIER_FAST, "hier8": HIER8_FAST}[mode]
 
     left, right = _scene()
-    P = 128 // HIER_FAST.band
+    P = 128 // HP.band
     lb = jnp.asarray(np.stack([left] * P))
     rb = jnp.asarray(np.stack([right] * P))
     p = StereoSGBMParams(
@@ -31,7 +38,7 @@ def main() -> None:
         disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
         num_paths=3,
     )
-    fn = jax.jit(lambda l, r: stereo_sgbm_hier_batch(l, r, p, HIER_FAST))
+    fn = jax.jit(lambda l, r: stereo_sgbm_hier_batch(l, r, p, HP))
     # compile + warm
     np.asarray(fn(lb, rb))
     with jax.profiler.trace("/tmp/hier_trace"):

@@ -283,8 +283,11 @@ def cmd_stream(args) -> int:
 
     mesh = create_mesh(n_data=args.devices, n_space=1)
     n_data = mesh.devices.shape[0]
-    # sgbm_hier packs 128 // band frames per device program (HIER_FAST: 8).
-    window = args.window or (8 * n_data)
+    # sgbm_hier packs 128 // band frames per device program: 16 for the
+    # band-8 headline preset (HIER8_FAST, the default window), 8 for
+    # band-16 (HIER_FAST) — batched_stereo_pipeline selects the preset
+    # by the per-device batch.
+    window = args.window or (16 * n_data)
     # Upfront validation: a bad window otherwise fails deep inside jit
     # sharding (or, for sgbm_hier, as an opaque Pallas pack-shape error).
     if window % n_data != 0:
@@ -294,10 +297,11 @@ def cmd_stream(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.matcher == "sgbm_hier" and window // n_data != 8:
+    if args.matcher == "sgbm_hier" and window // n_data not in (8, 16):
         print(
-            f"--window {window}: sgbm_hier packs exactly 8 frames per device "
-            f"(HIER_FAST band 16) — use --window {8 * n_data}",
+            f"--window {window}: sgbm_hier packs 16 (band-8 headline) or 8 "
+            f"(band-16) frames per device — use --window {16 * n_data} or "
+            f"{8 * n_data}",
             file=sys.stderr,
         )
         return 2
