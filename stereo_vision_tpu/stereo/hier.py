@@ -490,14 +490,23 @@ _FUSED_STATS = False
 # implements the same contract via subpixel_disp16).
 #
 # Measured on the chip (benchmarks/hier_ab_r3n.py, 2026-08-19): a ~1%
-# LOSS (206.2 vs 208.1 Mpx/s) — once subpixel_disp16's int32 division
-# was replaced by f32 compare-accumulates (the real r3n win: that XLA
-# pass went from 0.48 ms/pack of int-div lowering to a cheap fused
-# elementwise pass, 204 -> 208), the remaining XLA subpixel work on the
-# small (P*H, Wv) maps is cheaper than the ~20 extra in-kernel ops: the
-# WTA kernel has no VPU-issue slack (same lesson as r3m, smaller dose).
-# Kept as a tested capability (test_sub_stats_vs_scan).
+# LOSS (206.2 vs 208.1 Mpx/s) at BAND 16 (P=8, 48-of-128-lane stats) —
+# once subpixel_disp16's int32 division was replaced by f32
+# compare-accumulates (the real r3n win: that XLA pass went from
+# 0.48 ms/pack of int-div lowering to a cheap fused elementwise pass,
+# 204 -> 208), the remaining XLA subpixel work on the small (P*H, Wv)
+# maps is cheaper than the ~20 extra in-kernel ops. At BAND 8 (P=16)
+# the sign FLIPS: the 6-stat output occupies 96 of 128 lanes and its
+# unpack slice is 2.1 ms/dispatch (r4g trace) — the 4-stat form cuts a
+# third of that, measured +1% (302.2 -> 305.2, /tmp r4i A/B,
+# 2026-08-20). Default: ON for 8-lane bands, OFF otherwise; this
+# module toggle forces it everywhere (both bit-exact,
+# test_sub_stats_vs_scan).
 _WTA_SUB = False
+
+
+def _wta_sub(band: int) -> bool:
+    return _WTA_SUB or band == 8
 
 
 def _assemble_fused(pack, du, W, min_x, params, interpret=False):
@@ -827,7 +836,11 @@ def hier_batch_prior(
         _assemble_disparity_pack(
             list(banded_stats_pack(
                 lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Kc, G,
-                min_x=Dc, stride=hp.coarse_stride, sub=_WTA_SUB,
+                # Coarse stats always take the 4-stat in-kernel-subpixel form:
+                # the coarse maps are unpack-overhead-bound, measured
+                # +1.1 Mpx/s on the hier8 headline (/tmp r4i2 A/B;
+                # r3n's -1% was the full-res band-16 stage, not this).
+                min_x=Dc, stride=hp.coarse_stride, sub=True,
                 interpret=interpret,
             )),
             None, Wc, Dc, Dc, Kc, cp, clr_backend,
@@ -872,7 +885,7 @@ def hier_batch_prior(
             stats_i = list(banded_stats_pack(
                 lm[i : i + pack_m], rm[i : i + pack_m], s_m[i : i + pack_m],
                 pm, Bm, Gm, min_x=Dm, tile_px=4 if t_lv == 4 else 8,
-                interpret=interpret,
+                sub=_wta_sub(Bm), interpret=interpret,
             ))
             disp_i = _assemble_disparity_pack(
                 stats_i, s_m[i : i + pack_m, :, Dm:], Wm, Dm, Dm, Bm, pm,
@@ -968,7 +981,7 @@ def stereo_sgbm_hier_batch(
     else:
         stats = banded_stats_pack(
             left, right, s, params, B, G, min_x=D, tile_px=tile_px,
-            sub=_WTA_SUB, interpret=interpret,
+            sub=_wta_sub(B), interpret=interpret,
         )
         frames = _assemble_disparity_pack(
             list(stats), s[:, :, D:], W, D, D, B, params, backend,
