@@ -423,19 +423,39 @@ def _assemble_disparity(
     H = minS.shape[0]
     if s_v is None:
         best_abs = stride * k
-        disp = stride * sub16.astype(jnp.float32) / 16.0
+        d16 = stride * sub16
     else:
         assert stride == 1, "strided search is coarse-only (s == 0)"
         best_abs = k + s_v
-        disp = (sub16 + 16 * s_v).astype(jnp.float32) / 16.0
+        d16 = sub16 + 16 * s_v
+    disp = d16.astype(jnp.float32) / 16.0
 
     valid = unique_ok
     if params.disp12_max_diff >= 0:
-        valid = valid & ~lr_fail(
-            minS, best_abs, disp,
-            W=W, min_x=min_x, ndisp=ndisp_full, mindisp=0,
-            max_diff=params.disp12_max_diff, backend=backend,
-        )
+        if (
+            len(stats) == 4 and backend == "pallas"
+            and min_x == ndisp_full and params.min_disparity == 0
+        ):
+            # 4-stat + pallas: the packed LR kernel takes (pack, d16)
+            # directly and derives floor/ceil in-kernel (d16 >= 0) —
+            # one fewer (Wv, H) transposed map shipped and no separate
+            # XLA floor/ceil passes (the r4g trace put the LR-adjacent
+            # transpose+mul glue at ~1 ms/dispatch). Bit-identical to
+            # the lr_fail path (lr_fail_pallas_packed semantics,
+            # test_fused_wta_assemble_matches_scan).
+            from stereo_vision_tpu.stereo.lr_pallas import lr_fail_pallas_packed
+
+            fail = lr_fail_pallas_packed(
+                minS * 2048 + best_abs, d16, W=W, ndisp=ndisp_full,
+                mindisp=0, max_diff=params.disp12_max_diff,
+            )
+            valid = valid & ~fail
+        else:
+            valid = valid & ~lr_fail(
+                minS, best_abs, disp,
+                W=W, min_x=min_x, ndisp=ndisp_full, mindisp=0,
+                max_diff=params.disp12_max_diff, backend=backend,
+            )
 
     disp = jnp.where(valid, disp, jnp.float32(-1.0))
     full = jnp.full((H, W), -1.0, jnp.float32)

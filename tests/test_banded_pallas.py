@@ -285,6 +285,39 @@ class TestHierBatch:
             single = np.asarray(stereo_sgbm_hier(left[b], right[b], params, hp))
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
 
+    def test_pallas_band8_packed_lr_matches_scan(self, monkeypatch):
+        """The TPU band-8 assemble (4-stat WTA + backend 'pallas') now
+        feeds lr_fail_pallas_packed directly (pack + d16, floor/ceil
+        in-kernel) — must be bit-identical to the scan assemble."""
+        import functools as ft
+
+        import stereo_vision_tpu.stereo.lr_pallas as lp
+        from stereo_vision_tpu.stereo.hier import (
+            HIER8_FAST,
+            stereo_sgbm_hier_batch,
+        )
+
+        for name in ("lr_fail_pallas", "lr_fail_pallas_packed"):
+            monkeypatch.setattr(
+                lp, name, ft.partial(getattr(lp, name).__wrapped__, interpret=True)
+            )
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(16, Hh, Wh, 128, seed=29)
+        base = dict(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        got = np.asarray(stereo_sgbm_hier_batch(
+            left, right, StereoSGBMParams(backend="pallas", **base),
+            HIER8_FAST, interpret=True,
+        ))
+        want = np.asarray(stereo_sgbm_hier_batch(
+            left, right, StereoSGBMParams(backend="scan", **base),
+            HIER8_FAST, interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)
+
     def test_pallas_rowstack_assemble_matches_scan(self, monkeypatch):
         """The TPU default assemble (backend 'pallas' + row-stacked LR —
         ONE lr_fail_pallas dispatch over the (P*H, Wv) maps, hier_ab_r3k)
