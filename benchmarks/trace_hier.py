@@ -21,13 +21,14 @@ def main() -> None:
     from bench import _scene, H, W, D
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
     from stereo_vision_tpu.stereo.hier import (
+        HIER4_FAST,
         HIER8_FAST,
         HIER_FAST,
         stereo_sgbm_hier_batch,
     )
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "hier16"
-    HP = {"hier16": HIER_FAST, "hier8": HIER8_FAST}[mode]
+    HP = {"hier16": HIER_FAST, "hier8": HIER8_FAST, "hier4": HIER4_FAST}[mode]
 
     left, right = _scene()
     P = 128 // HP.band

@@ -214,6 +214,24 @@ HIER8_FAST = HIER_FAST._replace(
     speckle_diameter=4,
 )
 
+# Round-5 band-4 preset: the next rung of the band-halving ladder that
+# won rounds 3 and 4 (verdict-r4 #1). 32 frames per 128-lane pack under
+# the SAME two-level prior as HIER8_FAST; the unlock is GRANULARITY 1
+# (the G=2 placement grid wastes half the 4-lane band at tile seams —
+# benchmarks/hier_ab_r5a_agreement.py: G2 fails ramp by 0.0001 at every
+# margin, G1 passes) plus a tighter margin (0.75; the band has no room
+# for slack) and a LOOSER mid margin (3.0 buys occl/bigjump margin: the
+# wider mid band absorbs coarse placement error before it reaches the
+# 4-lane full-res band). CPU pins (240x512, 3-path full-res):
+# ramp 0.9806 / occl 0.9844 / reptex 1.0000 / bigjump 0.9796 vs bars
+# 0.98/0.983/0.995/0.978 (hier_ab_r5a2/a3 sweeps; midp4 variants pass
+# too but cost a wider mid reduce for ~the same margins).
+# NOTE the 4-stat WTA output is REQUIRED at P=32 (6 stats would need
+# 192 lanes); _wta_sub covers every band <= 8.
+HIER4_FAST = HIER8_FAST._replace(
+    band=4, granularity=1, margin=0.75, mid_margin=3.0,
+)
+
 # A DEEP pyramid (coarse 1/8 -> band-16 @ 1/4 -> band-8 @ 1/2 -> band-8
 # full; every level bridging only a 2x gap) was the r4 candidate for
 # cutting the 0.51 ms/frame coarse cost — MEASURED REJECTED
@@ -526,7 +544,9 @@ _WTA_SUB = False
 
 
 def _wta_sub(band: int) -> bool:
-    return _WTA_SUB or band == 8
+    # band 4 REQUIRES the 4-stat form: the 6-stat WTA output packs
+    # P*6 lanes, which exceeds 128 at P = 32.
+    return _WTA_SUB or band <= 8
 
 
 def _assemble_fused(pack, du, W, min_x, params, interpret=False):
@@ -713,7 +733,9 @@ def stereo_sgbm_hier(
     D = params.num_disparities
     B, G, f = hp.band, hp.granularity, hp.coarse_factor
     fx = hp.coarse_fx or f
-    assert D % (fx * 16) == 0 and B % 8 == 0 and (D - B) % G == 0
+    # B % 4: band 4 (32 frames/pack) is measurable through the scan core;
+    # the packed kernels themselves gate on their own lane asserts.
+    assert D % (fx * 16) == 0 and B % 4 == 0 and (D - B) % G == 0
     H, W = left.shape
 
     # 1. Coarse prior.

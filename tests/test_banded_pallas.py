@@ -250,6 +250,34 @@ class TestHierBatch:
             )
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
 
+    def test_pack32_band4_matches_single_frame(self):
+        """The round-5 HIER4_FAST preset packs 32 frames (band 4, G=1,
+        4-stat WTA — REQUIRED at P=32, see hier._wta_sub) behind the
+        two-level prior: 8 coarse sub-packs (Dc=32), 2 mid sub-packs
+        (band 8 at 1/2 res), then the 32-frame band-4 full-res pass —
+        all must reproduce per-frame stereo_sgbm_hier bit-for-bit."""
+        from stereo_vision_tpu.stereo.hier import (
+            HIER4_FAST,
+            stereo_sgbm_hier,
+            stereo_sgbm_hier_batch,
+        )
+
+        Hh, Wh = 48, 192
+        left, right = _rand_scene(32, Hh, Wh, 128, seed=17)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        batch = np.asarray(
+            stereo_sgbm_hier_batch(left, right, params, HIER4_FAST, interpret=True)
+        )
+        for b in range(0, 32, 3):  # 11 of the 32 frames
+            single = np.asarray(
+                stereo_sgbm_hier(left[b], right[b], params, HIER4_FAST)
+            )
+            np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
+
     def test_two_level_pyramid_matches_single_frame(self):
         """The generalized mid_levels chain (two intermediate levels,
         1/8 coarse) must stay bit-exact batch-vs-scan. This CONFIG is
