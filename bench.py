@@ -27,6 +27,12 @@ Candidate modes (all full StereoSGBMParams semantics incl. speckle):
              2-path mid pass tightens the prior for an 8-lane full-res
              band — 16 frames per 128-lane pack, one 16-frame mid pack
              (benchmarks/hier_ab_r4a/b/d/e)
+  hier4x3  — round-5 band-4 preset (HIER4_FAST): the same two-level
+             prior feeding a 4-lane full-res band at G=2 — 32 frames
+             per pack (benchmarks/hier_ab_r5a*; G=1 pins better but
+             the pix s-select loop is pack-constant at (D-K)/G iters,
+             so G=2 is the measured optimum). NOTE: "hier4" above is
+             the band-32 4-PATH legacy mode; "hier4x3" is band 4.
 
 The agreement gate takes the MINIMUM across three 720p scenes (ramp+box,
 true-occlusion composite, 110 px near-D-limit jump) so a mode cannot
@@ -147,6 +153,7 @@ def main() -> None:
     from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams, stereo_sgbm
     from stereo_vision_tpu.stereo.hier import (
         HIER_FAST,
+        HIER4_FAST,
         HIER8_FAST,
         HierParams,
         stereo_sgbm_hier_batch,
@@ -178,6 +185,7 @@ def main() -> None:
         "hier16": (lambda l, r: stereo_sgbm_hier_batch(l, r, p4, HIER_FAST), 8),
         "hier16x3": (lambda l, r: stereo_sgbm_hier_batch(l, r, p3, HIER_FAST), 8),
         "hier8x3": (lambda l, r: stereo_sgbm_hier_batch(l, r, p3, HIER8_FAST), 16),
+        "hier4x3": (lambda l, r: stereo_sgbm_hier_batch(l, r, p3, HIER4_FAST), 32),
     }
 
     def batch(B, scene=None):
@@ -226,6 +234,14 @@ def main() -> None:
     }
     agree = {name: min(agree_scene[name].values()) for name in modes}
     compliant = [n for n in modes if agree[n] >= AGREE_GATE]
+    # exact8 is the agreement reference, so it self-agrees at 1.0 and
+    # compliant can never be empty — assert that invariant explicitly so
+    # a future gate/reference change fails with a diagnostic instead of
+    # an opaque max() ValueError (r4 advice).
+    assert "exact8" in compliant, (
+        "agreement gate excluded the reference mode itself — the gate or "
+        f"reference changed incompatibly: {agree}"
+    )
     headline = max(compliant, key=lambda n: results[n])
 
     mpx = results[headline]

@@ -92,6 +92,14 @@ class FrameRing:
         return self._put_fallback(window.copy())
 
     def _put_fallback(self, arr: np.ndarray) -> int:
+        # _plock is held ACROSS the blocking retry loop: when the ring
+        # is full, all producers serialize behind one waiter, and a
+        # blocked producer observes close() one 50 ms tick at a time.
+        # Correct (stress-tested, tests/test_loader.py MPMC), and
+        # acceptable at the documented 1-CPU design point where
+        # producers cannot run concurrently anyway; if multi-producer
+        # throughput ever matters, claim self._seq under the lock but
+        # wait for queue space OUTSIDE it on a condition variable.
         with self._plock:
             while True:
                 if self._closed.is_set():

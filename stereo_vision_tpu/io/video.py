@@ -176,9 +176,16 @@ class VideoSink:
 
         f = np.asarray(frame)
         if self._vw is None:
-            h, w = f.shape[0], f.shape[1]
+            self._hw = (f.shape[0], f.shape[1])
+            h, w = self._hw
             self._vw = cv2.VideoWriter(
                 str(self.path), cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+            )
+        elif (f.shape[0], f.shape[1]) != self._hw:
+            # cv2.VideoWriter.write silently drops mismatched frames
+            # (returns False without raising) — fail loudly instead.
+            raise ValueError(
+                f"frame shape {f.shape[:2]} != sink shape {self._hw}"
             )
         if f.ndim == 2:
             f = np.stack([f] * 3, axis=-1)

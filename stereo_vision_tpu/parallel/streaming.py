@@ -78,6 +78,7 @@ def batched_stereo_pipeline(
         # B == 128 // band: pass hier_params explicitly, or it is chosen
         # by the batch size (8 -> HIER_FAST band 16, 4 -> band-32 default).
         from stereo_vision_tpu.stereo.hier import (
+            HIER4_FAST,
             HIER8_FAST,
             HIER_FAST,
             HierParams,
@@ -85,7 +86,7 @@ def batched_stereo_pipeline(
         )
 
         if hier_params is None:
-            hier_params = {8: HIER_FAST, 16: HIER8_FAST}.get(
+            hier_params = {8: HIER_FAST, 16: HIER8_FAST, 32: HIER4_FAST}.get(
                 left.shape[0], HierParams()
             )
 

@@ -283,11 +283,14 @@ def cmd_stream(args) -> int:
 
     mesh = create_mesh(n_data=args.devices, n_space=1)
     n_data = mesh.devices.shape[0]
-    # sgbm_hier packs 128 // band frames per device program: 16 for the
-    # band-8 headline preset (HIER8_FAST, the default window), 8 for
-    # band-16 (HIER_FAST) — batched_stereo_pipeline selects the preset
-    # by the per-device batch.
-    window = args.window or (16 * n_data)
+    # sgbm_hier packs 128 // band frames per device program: 32 for the
+    # band-4 headline preset (HIER4_FAST, the default window), 16 for
+    # band-8, 8 for band-16 — batched_stereo_pipeline selects the preset
+    # by the per-device batch. bm/sgbm keep the smaller 8-frame default
+    # window (r4 advice: the 16x default doubled their per-device batch,
+    # a 1080p memory/latency change with no hier-related benefit).
+    default_window = (32 if args.matcher == "sgbm_hier" else 8) * n_data
+    window = args.window or default_window
     # Upfront validation: a bad window otherwise fails deep inside jit
     # sharding (or, for sgbm_hier, as an opaque Pallas pack-shape error).
     if window % n_data != 0:
@@ -297,11 +300,11 @@ def cmd_stream(args) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.matcher == "sgbm_hier" and window // n_data not in (8, 16):
+    if args.matcher == "sgbm_hier" and window // n_data not in (8, 16, 32):
         print(
-            f"--window {window}: sgbm_hier packs 16 (band-8 headline) or 8 "
-            f"(band-16) frames per device — use --window {16 * n_data} or "
-            f"{8 * n_data}",
+            f"--window {window}: sgbm_hier packs 32 (band-4 headline), 16 "
+            f"(band-8) or 8 (band-16) frames per device — use --window "
+            f"{32 * n_data}, {16 * n_data} or {8 * n_data}",
             file=sys.stderr,
         )
         return 2

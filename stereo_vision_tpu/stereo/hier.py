@@ -216,20 +216,21 @@ HIER8_FAST = HIER_FAST._replace(
 
 # Round-5 band-4 preset: the next rung of the band-halving ladder that
 # won rounds 3 and 4 (verdict-r4 #1). 32 frames per 128-lane pack under
-# the SAME two-level prior as HIER8_FAST; the unlock is GRANULARITY 1
-# (the G=2 placement grid wastes half the 4-lane band at tile seams —
-# benchmarks/hier_ab_r5a_agreement.py: G2 fails ramp by 0.0001 at every
-# margin, G1 passes) plus a tighter margin (0.75; the band has no room
-# for slack) and a LOOSER mid margin (3.0 buys occl/bigjump margin: the
-# wider mid band absorbs coarse placement error before it reaches the
-# 4-lane full-res band). CPU pins (240x512, 3-path full-res):
-# ramp 0.9806 / occl 0.9844 / reptex 1.0000 / bigjump 0.9796 vs bars
-# 0.98/0.983/0.995/0.978 (hier_ab_r5a2/a3 sweeps; midp4 variants pass
-# too but cost a wider mid reduce for ~the same margins).
+# the SAME two-level prior as HIER8_FAST. Tuning history
+# (hier_ab_r5a/a2/a3/a4 sweeps + chip traces):
+#   - G=1 has the best pins (m0.75/mm3.0: ramp 0.9806 / occl 0.9844 /
+#     bigjump 0.9796) but measured 303 vs hier8x3's 307 on chip — the
+#     pix kernel's per-column s-select loop runs (D-K)/G + 1 = 125
+#     iterations at PACK-constant cost (pix 0.57 -> 0.94 ms/frame).
+#   - G=2 halves that loop (63 iters, pix back to parity). The ramp pin
+#     needs margin 0.75 AND mid_margin 3.0 (the wider mid band absorbs
+#     coarse placement error before it reaches the 4-lane full-res
+#     band): ramp 0.9802 / occl 0.9842 / reptex 1.0000 / bigjump 0.9798
+#     vs bars 0.98/0.983/0.995/0.978.
 # NOTE the 4-stat WTA output is REQUIRED at P=32 (6 stats would need
 # 192 lanes); _wta_sub covers every band <= 8.
 HIER4_FAST = HIER8_FAST._replace(
-    band=4, granularity=1, margin=0.75, mid_margin=3.0,
+    band=4, granularity=2, margin=0.75, mid_margin=3.0,
 )
 
 # A DEEP pyramid (coarse 1/8 -> band-16 @ 1/4 -> band-8 @ 1/2 -> band-8

