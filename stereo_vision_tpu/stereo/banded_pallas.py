@@ -521,11 +521,13 @@ _BOX_INKERNEL_DELTAS = True
 
 @functools.partial(
     jax.jit,
-    static_argnames=("band", "granularity", "block_size", "out_off", "interpret"),
+    static_argnames=(
+        "band", "granularity", "block_size", "out_off", "seam", "interpret"
+    ),
 )
 def aligned_box_packed(
     pix, s, band: int, granularity: int, block_size: int = 5,
-    out_off: int = 0, interpret: bool = False,
+    out_off: int = 0, seam=None, interpret: bool = False,
 ):
     """Pallas aligned 5x5 box over the packed banded pixel cost.
 
@@ -536,6 +538,15 @@ def aligned_box_packed(
     (An XLA shift+select formulation measured 11 ms/frame at 720p — the
     lane-padded packed delta maps blow up to ~40 GB of materialized
     intermediates; in-kernel the deltas are (W, 8P) rows.)
+
+    seam: optional (top, Hc, Hseg) for hier's seam-stacked layout: row
+    index maps then clamp WITHIN each segment's real-row range
+    [seg*Hseg + top, seg*Hseg + top + Hc - 1] instead of [0, H-1] —
+    cv2's replicate border rule clamps the COST rows, so each stacked
+    segment must clamp to its own frame's rows (an image-content
+    replica pad row is NOT the edge cost row: its sobel never sees the
+    inward neighbor). Pad-row outputs read real rows and are garbage by
+    construction (row-local downstream never mixes them in).
     """
     H, W = pix.shape[0], pix.shape[1]
     P = s.shape[0]
@@ -545,10 +556,20 @@ def aligned_box_packed(
     G = granularity
     Wo = W - out_off
 
+    if seam is None:
+        clamp_row = lambda y, dy: jnp.clip(y + dy, 0, H - 1)
+    else:
+        top, Hc, Hseg = seam
+        assert H % Hseg == 0
+
+        def clamp_row(y, dy):
+            lo = (y // Hseg) * Hseg + top
+            return jnp.clip(y + dy, lo, lo + Hc - 1)
+
     def spec_dy(dy):
         return pl.BlockSpec(
             (1, W, 128),
-            lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
+            lambda y, dy=dy: (clamp_row(y, dy), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -561,7 +582,7 @@ def aligned_box_packed(
         def spec_s(dy):
             return pl.BlockSpec(
                 (1, P, W),
-                lambda y, dy=dy: (jnp.clip(y + dy, 0, H - 1), 0, 0),
+                lambda y, dy=dy: (clamp_row(y, dy), 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -579,6 +600,7 @@ def aligned_box_packed(
             interpret=interpret,
         )(pix, pix, pix, pix, pix, s_t, s_t, s_t, s_t, s_t)
 
+    assert seam is None, "seam-stacked layout requires _BOX_INKERNEL_DELTAS"
     se = jnp.pad(s, ((0, 0), (2, 2), (0, 0)), mode="edge")
     sxe = jnp.pad(s, ((0, 0), (0, 0), (2, 2)), mode="edge")
     deltas = [s - se[:, 2 + dy : 2 + dy + H] for dy in (-2, -1, 1, 2)]
@@ -1218,14 +1240,24 @@ def banded_stats_pack(
     tile_px: int = 8,
     fused: bool = False,
     sub: bool = False,
+    s_reduce=None,
+    seam=None,
     interpret: bool = False,
 ):
     """Packed banded core: P frames end-to-end through the Pallas
     kernels. Mirrors banded.banded_stats_scan per frame (bit-exact,
-    tests/test_banded_pallas.py).
+    tests/test_banded_pallas.py). ``seam`` (static (top, Hc, Hseg)) is
+    forwarded to the box kernel's segment-local row clamping — see
+    aligned_box_packed.
 
     Args:
       left, right: (P, H, W) int images; s: (P, H, W) int32 shift maps.
+      s_reduce: optional shift-map override for the AGGREGATION stage
+        only (pix/box keep ``s``). Used by hier's seam-stacked coarse:
+        marker rows whose delta exceeds the supported +-G force the
+        scan carries to the border-rule reset at segment seams, while
+        the windowed cost must keep the real map so its replicate-pad
+        row contributions stay exact.
 
     Returns six (P, H, W - min_x) int32/bool maps:
       (minS, best_k, sm, s0, sp, unique_ok) — or, with ``sub``, FOUR
@@ -1257,11 +1289,11 @@ def banded_stats_pack(
     # scan kernels' block DMAs (f32 blocks OOM'd scoped VMEM at 720p).
     C = aligned_box_packed(
         pix, s[:, :, x0:], band, granularity, params.block_size,
-        out_off=out_off, interpret=interpret,
+        out_off=out_off, seam=seam, interpret=interpret,
     )
 
     Cv = C if x0 + out_off == min_x else C[:, min_x:, :]
-    sv = s[:, :, min_x:]
+    sv = (s if s_reduce is None else s_reduce)[:, :, min_x:]
     outs = banded_reduce_pack(
         Cv, sv, band, granularity, params.P1, params.P2,
         params.uniqueness_ratio, num_paths=params.num_paths,

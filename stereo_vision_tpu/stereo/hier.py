@@ -583,6 +583,76 @@ def _assemble_fused(pack, du, W, min_x, params, interpret=False):
 # chains — the r3k full-res lesson applied at mid-map sizes.
 _MID_ASSEMBLE_ROWSTACK = False
 
+# Round-5 coarse seam-stacking (verdict-r4 #2a): run ALL P coarse frames
+# in ONE banded_stats_pack call by stacking the P // pack_c sub-packs
+# ROW-wise (each stacked "frame" holds nseg image segments separated by
+# pad rows), instead of a python loop of nseg dispatch chains. The r5
+# stage split (benchmarks/hier_split_r5.py) put the coarse stage at
+# 0.50 ms/frame — 18% of the hier4x3 budget — dominated by per-sub-pack
+# dispatch + XLA assemble overhead at the tiny coarse map sizes (the
+# r3d finding: coarse chains are fixed-pass-overhead bound).
+#
+# Seam semantics (bit-exact vs the per-sub-pack loop on real rows,
+# tests/test_banded_pallas.py::TestCoarseSeamStack):
+#   - segment layout [top=8 replicate rows | Hc real | bot=4|8 replicate
+#     rows], Hseg % 8 == 0, so every segment's first real row lands on a
+#     block-entry (top=8) realign row and the y-FLIPPED scan's first
+#     real row lands on a mid-block (bot=4, needs tile_px=4) or
+#     block-entry (bot=8) realign row;
+#   - pad rows carry shift value 2G (real rows 0): the realign delta at
+#     each seam is -+2G, beyond align_band's supported +-G, which the
+#     kernels define as a full reset to the SGM border rule L = c —
+#     exactly the per-frame top/bottom border behavior;
+#   - the aligned box window center-substitutes across the +-2G seam
+#     (|delta| > G), which equals the per-frame replicate-border rule;
+#     sobel reads the +-1 replicate pad rows directly;
+#   - every other op (horizontal scans, WTA, uniqueness, LR, assemble)
+#     is row-local, so pad-row garbage never reaches a real row.
+_COARSE_SEAM_STACK = True
+
+
+def _seam_geometry(Hc: int) -> tuple[int, int, int] | None:
+    """(top, bot, Hseg) for the seam-stacked layout, or None when the
+    geometry is unsupported (Hc % 4 != 0: no realign row can coincide
+    with the flipped scan's real-entry row)."""
+    if Hc % 4 != 0:
+        return None
+    top = 8
+    bot = 4 if (top + Hc) % 8 == 4 else 8
+    if (top + Hc + bot) % 8 != 0:
+        return None
+    return top, bot, top + Hc + bot
+
+
+def _seam_stack(img: jnp.ndarray, pack_c: int, top: int, bot: int) -> jnp.ndarray:
+    """(P, Hc, Wc) -> (pack_c, nseg*Hseg, Wc): frame g*pack_c + j becomes
+    segment g of stacked frame j, with replicate pad rows."""
+    P, Hc, Wc = img.shape
+    nseg = P // pack_c
+    x = img.reshape(nseg, pack_c, Hc, Wc)
+    x = jnp.concatenate(
+        [
+            jnp.broadcast_to(x[:, :, :1], (nseg, pack_c, top, Wc)),
+            x,
+            jnp.broadcast_to(x[:, :, -1:], (nseg, pack_c, bot, Wc)),
+        ],
+        axis=2,
+    )
+    Hseg = top + Hc + bot
+    return jnp.moveaxis(x, 0, 1).reshape(pack_c, nseg * Hseg, Wc)
+
+
+def _seam_unstack(
+    stk: jnp.ndarray, P: int, Hc: int, top: int, bot: int
+) -> jnp.ndarray:
+    """Inverse of _seam_stack on the real rows: -> (P, Hc, Wc)."""
+    pack_c, Hs, Wc = stk.shape
+    Hseg = top + Hc + bot
+    nseg = Hs // Hseg
+    x = stk.reshape(pack_c, nseg, Hseg, Wc)[:, :, top : top + Hc]
+    return jnp.moveaxis(x, 0, 1).reshape(P, Hc, Wc)
+
+
 # LR backend for the COARSE assemble in stereo_sgbm_hier_batch ("auto"
 # resolves to the fused Pallas kernel on TPU). A/B on the chip
 # (benchmarks/hier_ab_r3d.py + _r3d2.py, 2026-08-18): the coarse scan-LR
@@ -874,23 +944,60 @@ def hier_batch_prior(
         lc = _downsample_box(left, f, fx)
         rc = _downsample_box(right, f, fx)
     Hc, Wc = lc.shape[1:]
-    s0 = jnp.zeros((pack_c, Hc, Wc), jnp.int32)
-    disp_c = jnp.concatenate([
-        _assemble_disparity_pack(
-            list(banded_stats_pack(
-                lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Kc, G,
-                # Coarse stats always take the 4-stat in-kernel-subpixel form:
-                # the coarse maps are unpack-overhead-bound, measured
-                # +1.1 Mpx/s on the hier8 headline (/tmp r4i2 A/B;
-                # r3n's -1% was the full-res band-16 stage, not this).
-                min_x=Dc, stride=hp.coarse_stride, sub=True,
-                interpret=interpret,
-            )),
-            None, Wc, Dc, Dc, Kc, cp, clr_backend,
-            stride=hp.coarse_stride, row_stack=_COARSE_PACK_ASSEMBLE,
+    seam = _seam_geometry(Hc) if (
+        _COARSE_SEAM_STACK and P > pack_c and hp.coarse_stride == 1
+    ) else None
+    if seam is not None:
+        # ONE seam-stacked call for all P frames (see _COARSE_SEAM_STACK).
+        top, bot, Hseg = seam
+        nseg = P // pack_c
+        lcs = _seam_stack(lc, pack_c, top, bot)
+        rcs = _seam_stack(rc, pack_c, top, bot)
+        # Marker map for the AGGREGATION only: pad rows get 2G so the
+        # seam realign delta (-+2G, beyond the supported +-G) resets the
+        # scans to the border rule at each segment's first real row.
+        # pix/box keep the true all-zeros map (s_reduce split): the
+        # replicate pad rows then contribute EXACTLY the per-frame
+        # replicate-border window terms (a marker-valued s would
+        # center-substitute them instead, which diverges at rows
+        # 0..1 / Hc-2..Hc-1 — measured in the r5 seam-stack debug).
+        row = jnp.arange(nseg * Hseg) % Hseg
+        pad_row = (row < top) | (row >= top + Hc)
+        s_mark = jnp.broadcast_to(
+            jnp.where(pad_row[None, :, None], 2 * G, 0).astype(jnp.int32),
+            (pack_c, nseg * Hseg, Wc),
         )
-        for i in range(0, P, pack_c)
-    ])
+        s0_stk = jnp.zeros((pack_c, nseg * Hseg, Wc), jnp.int32)
+        stats = banded_stats_pack(
+            lcs, rcs, s0_stk, cp, Kc, G, min_x=Dc, stride=1, sub=True,
+            tile_px=4 if bot == 4 else 8, s_reduce=s_mark,
+            seam=(top, Hc, Hseg), interpret=interpret,
+        )
+        disp_stk = _assemble_disparity_pack(
+            # s_v=None: real rows have s == 0, and pad-row garbage never
+            # reaches a real row (every assemble op is row-local).
+            list(stats), None, Wc, Dc, Dc, Kc, cp, clr_backend,
+            stride=1, row_stack=(clr_backend == "pallas"),
+        )
+        disp_c = _seam_unstack(disp_stk, P, Hc, top, bot)
+    else:
+        s0 = jnp.zeros((pack_c, Hc, Wc), jnp.int32)
+        disp_c = jnp.concatenate([
+            _assemble_disparity_pack(
+                list(banded_stats_pack(
+                    lc[i : i + pack_c], rc[i : i + pack_c], s0, cp, Kc, G,
+                    # Coarse stats always take the 4-stat in-kernel-subpixel
+                    # form: the coarse maps are unpack-overhead-bound,
+                    # measured +1.1 Mpx/s on the hier8 headline (/tmp r4i2
+                    # A/B; r3n's -1% was the full-res band-16 stage).
+                    min_x=Dc, stride=hp.coarse_stride, sub=True,
+                    interpret=interpret,
+                )),
+                None, Wc, Dc, Dc, Kc, cp, clr_backend,
+                stride=hp.coarse_stride, row_stack=_COARSE_PACK_ASSEMBLE,
+            )
+            for i in range(0, P, pack_c)
+        ])
 
     # 1b. Optional MID levels (prior pyramid) through the SAME packed
     # kernels (see stereo_sgbm_hier): each level refines the previous

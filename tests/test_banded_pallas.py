@@ -278,6 +278,33 @@ class TestHierBatch:
             )
             np.testing.assert_array_equal(batch[b], single, err_msg=f"frame {b}")
 
+    def test_coarse_seam_stack_exact(self, monkeypatch):
+        """The round-5 seam-stacked coarse (ONE banded_stats_pack call
+        for all P frames, segments separated by marker-shift pad rows)
+        must be bit-identical to the per-sub-pack loop — including at a
+        geometry with 8 segments (HIER4_FAST: P=32, pack_c=4) and both
+        seam paddings (bot=4 via Hc%8==4 here; the pack16 test's
+        default-on runs cover nseg=4)."""
+        from stereo_vision_tpu.stereo import hier
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST, hier_batch_prior
+
+        Hh, Wh = 48, 192  # Hc = 12: top=8, bot=4, Hseg=24, nseg=8
+        left, right = _rand_scene(32, Hh, Wh, 128, seed=29)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        monkeypatch.setattr(hier, "_COARSE_SEAM_STACK", True)
+        stacked = np.asarray(
+            hier_batch_prior(left, right, params, HIER4_FAST, True)[0]
+        )
+        monkeypatch.setattr(hier, "_COARSE_SEAM_STACK", False)
+        looped = np.asarray(
+            hier_batch_prior(left, right, params, HIER4_FAST, True)[0]
+        )
+        np.testing.assert_array_equal(stacked, looped)
+
     def test_two_level_pyramid_matches_single_frame(self):
         """The generalized mid_levels chain (two intermediate levels,
         1/8 coarse) must stay bit-exact batch-vs-scan. This CONFIG is
