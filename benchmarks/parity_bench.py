@@ -284,10 +284,10 @@ def config5() -> dict:
         max(n, 1),
     )
     # Banded hierarchical SGBM (the bench.py headline mode, agreement-
-    # gated there) at native 1080p: one lane-packed program per 16
-    # frames (round-4 HIER8_FAST band 8 + two-level prior, selected by
-    # B=16 in batched_stereo_pipeline). num_paths=3 matches bench.py's
-    # hier8x3 headline (per-scene pins in tests/test_hier.py).
+    # gated there) at native 1080p: one lane-packed program per 32
+    # frames (round-5 HIER4_FAST band 4 + two-level prior, selected by
+    # B=32 in batched_stereo_pipeline). num_paths=3 matches bench.py's
+    # hier4x3 headline (per-scene pins in tests/test_hier.py).
     hier_mpx, hier_fps = measure(
         "sgbm_hier",
         StereoSGBMParams(
@@ -295,7 +295,7 @@ def config5() -> dict:
             disp12_max_diff=1, speckle_window_size=100, speckle_range=2,
             num_paths=3,
         ),
-        16,
+        32,
     )
     return {
         "config": "5_batched_streams_mesh_1080p",

@@ -1117,7 +1117,27 @@ def banded_reduce_pack(
             out_specs=pl.BlockSpec((Hp, _BW, 128), imapC, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Hp, W, 128), vol_dtype),
             scratch_shapes=[pltpu.VMEM((Hp, 128), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+            compiler_params=pltpu.CompilerParams(
+                # Height-scaled cap (the sgm_pallas._horiz_vmem_limit
+                # pattern): blocks are full-height (Hp, 8, 128) columns,
+                # double-buffered in (i16/f32) + out (vol_dtype) + delta
+                # rows + the (Hp, 128) carry scratch. The old fixed 48 MB
+                # OOM'd at the D=256 seam-stacked coarse (nseg=16 ->
+                # Hp=3072: "scoped allocation 56.05M ... limit 51.52M").
+                vmem_limit_bytes=min(
+                    100 * 1024 * 1024,
+                    max(
+                        48 * 1024 * 1024,
+                        int(
+                            (
+                                2 * Hp * _BW * 128
+                                * (cf.dtype.itemsize + jnp.dtype(vol_dtype).itemsize)
+                                + Hp * 128 * 4
+                            ) * 2.0
+                        ) + 2 * 1024 * 1024,
+                    ),
+                )
+            ),
             interpret=interpret,
         )(cf, dh_rl if reverse else dh_lr)
 
