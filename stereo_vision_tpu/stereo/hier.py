@@ -583,6 +583,18 @@ def _assemble_fused(pack, du, W, min_x, params, interpret=False):
 # chains — the r3k full-res lesson applied at mid-map sizes.
 _MID_ASSEMBLE_ROWSTACK = False
 
+# Round-5: seam-stack the MID level's sub-packs into one kernel chain
+# (the _COARSE_SEAM_STACK design applied to a NONZERO shift map —
+# pix/box/assemble take the seam-stacked s, the aggregation takes
+# s + 2G markers on pad rows). MEASURED REJECTED on the chip
+# (2026-08-20, hier4x3 full config: 344.1 vs 346.9 Mpx/s): the mid has
+# only TWO sub-packs of dispatch overhead to amortize while every mid
+# kernel pays the (top+bot)/Hm = +4.4% pad rows — the coarse win does
+# not transfer (its 8 sub-packs ran over 6x smaller maps where fixed
+# overhead dominated). Kept as a tested capability (bit-exact,
+# test_mid_seam_stack_exact), default off.
+_MID_SEAM_STACK = False
+
 # Round-5 coarse seam-stacking (verdict-r4 #2a): run ALL P coarse frames
 # in ONE banded_stats_pack call by stacking the P // pack_c sub-packs
 # ROW-wise (each stacked "frame" holds nseg image segments separated by
@@ -1030,21 +1042,57 @@ def hier_batch_prior(
         t_lv = (prev_f // m) * lv.tile  # level shift-map tile side, level px
         assert t_lv % 8 == 0 or t_lv == 4, f"unsupported level tile {t_lv}px"
         fc = prev_f // m
-        parts = []
-        for i in range(0, P, pack_m):
-            stats_i = list(banded_stats_pack(
-                lm[i : i + pack_m], rm[i : i + pack_m], s_m[i : i + pack_m],
-                pm, Bm, Gm, min_x=Dm, tile_px=4 if t_lv == 4 else 8,
-                sub=_wta_sub(Bm), interpret=interpret,
+        seam_m = _seam_geometry(Hm) if (
+            _MID_SEAM_STACK and P > pack_m and t_lv == 4
+        ) else None
+        if seam_m is not None:
+            # Seam-stacked mid (same machinery as the coarse, with a
+            # NONZERO map): pix/box/assemble use the seam-stacked s
+            # (pad rows replicate the edge row — together with the box
+            # kernel's segment-local clamping this reproduces the
+            # per-frame replicate border exactly); the aggregation's
+            # s_reduce adds 2G on pad rows, making each seam delta
+            # -+2G = the border-rule reset. top=8 keeps the stacked
+            # rows congruent to the per-frame rows mod 8, so the
+            # tile-grid phase the realign logic assumes is preserved.
+            top_m, bot_m, Hseg_m = seam_m
+            nseg_m = P // pack_m
+            lms = _seam_stack(lm, pack_m, top_m, bot_m)
+            rms = _seam_stack(rm, pack_m, top_m, bot_m)
+            sms = _seam_stack(s_m, pack_m, top_m, bot_m)
+            rowm = jnp.arange(nseg_m * Hseg_m) % Hseg_m
+            padm = (rowm < top_m) | (rowm >= top_m + Hm)
+            s_red = jnp.where(padm[None, :, None], sms + 2 * Gm, sms)
+            stats_s = list(banded_stats_pack(
+                lms, rms, sms, pm, Bm, Gm, min_x=Dm, tile_px=4,
+                sub=_wta_sub(Bm), s_reduce=s_red,
+                seam=(top_m, Hm, Hseg_m), interpret=interpret,
             ))
-            disp_i = _assemble_disparity_pack(
-                stats_i, s_m[i : i + pack_m, :, Dm:], Wm, Dm, Dm, Bm, pm,
-                clr_backend, row_stack=_MID_ASSEMBLE_ROWSTACK,
+            disp_s = _assemble_disparity_pack(
+                stats_s, sms[:, :, Dm:], Wm, Dm, Dm, Bm, pm,
+                clr_backend, row_stack=(clr_backend == "pallas"),
             )
-            parts.append(jax.vmap(
+            disp_u = _seam_unstack(disp_s, P, Hm, top_m, bot_m)
+            k_u = _seam_unstack(stats_s[1], P, Hm, top_m, bot_m)
+            prior = jax.vmap(
                 lambda dm, k, dc, sm: _splice_coarse(dm, k, dc, sm, Bm, Dm, fc)
-            )(disp_i, stats_i[1], prior[i : i + pack_m], s_m[i : i + pack_m]))
-        prior = jnp.concatenate(parts)
+            )(disp_u, k_u, prior, s_m)
+        else:
+            parts = []
+            for i in range(0, P, pack_m):
+                stats_i = list(banded_stats_pack(
+                    lm[i : i + pack_m], rm[i : i + pack_m], s_m[i : i + pack_m],
+                    pm, Bm, Gm, min_x=Dm, tile_px=4 if t_lv == 4 else 8,
+                    sub=_wta_sub(Bm), interpret=interpret,
+                ))
+                disp_i = _assemble_disparity_pack(
+                    stats_i, s_m[i : i + pack_m, :, Dm:], Wm, Dm, Dm, Bm, pm,
+                    clr_backend, row_stack=_MID_ASSEMBLE_ROWSTACK,
+                )
+                parts.append(jax.vmap(
+                    lambda dm, k, dc, sm: _splice_coarse(dm, k, dc, sm, Bm, Dm, fc)
+                )(disp_i, stats_i[1], prior[i : i + pack_m], s_m[i : i + pack_m]))
+            prior = jnp.concatenate(parts)
         prev_f = m
     if levels:
         prior_hp = hp._replace(coarse_factor=prev_f, coarse_fx=None)

@@ -305,6 +305,31 @@ class TestHierBatch:
         )
         np.testing.assert_array_equal(stacked, looped)
 
+    def test_mid_seam_stack_exact(self, monkeypatch):
+        """The round-5 seam-stacked MID level (nonzero shift map:
+        pix/box/assemble take the stacked s, the aggregation takes
+        s + 2G pad markers) must be bit-identical to the per-sub-pack
+        loop. HIER4_FAST geometry: P=32, pack_m=16, 2 segments."""
+        from stereo_vision_tpu.stereo import hier
+        from stereo_vision_tpu.stereo.hier import HIER4_FAST, hier_batch_prior
+
+        Hh, Wh = 48, 192  # Hm = 24: top=8, bot=8, Hseg=40, nseg=2
+        left, right = _rand_scene(32, Hh, Wh, 128, seed=31)
+        params = StereoSGBMParams(
+            num_disparities=128, block_size=5, uniqueness_ratio=10,
+            disp12_max_diff=1, speckle_window_size=30, speckle_range=2,
+            num_paths=3,
+        )
+        monkeypatch.setattr(hier, "_MID_SEAM_STACK", True)
+        stacked = np.asarray(
+            hier_batch_prior(left, right, params, HIER4_FAST, True)[1]
+        )
+        monkeypatch.setattr(hier, "_MID_SEAM_STACK", False)
+        looped = np.asarray(
+            hier_batch_prior(left, right, params, HIER4_FAST, True)[1]
+        )
+        np.testing.assert_array_equal(stacked, looped)
+
     def test_two_level_pyramid_matches_single_frame(self):
         """The generalized mid_levels chain (two intermediate levels,
         1/8 coarse) must stay bit-exact batch-vs-scan. This CONFIG is

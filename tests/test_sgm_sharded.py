@@ -196,6 +196,12 @@ class TestLaneRepresentativeProduction:
             lp, "lr_fail_pallas",
             ft.partial(lp.lr_fail_pallas.__wrapped__, interpret=True),
         )
+        # Band-4 assembles through the PACKED LR kernel (4-stat fast
+        # path) — interpret-patch it too, like lr_fail_pallas above.
+        monkeypatch.setattr(
+            lp, "lr_fail_pallas_packed",
+            ft.partial(lp.lr_fail_pallas_packed.__wrapped__, interpret=True),
+        )
         H, W, D = 64, 256, 128
         maps, Q = _synthetic_rig(H, W)
         maps = tuple(jnp.asarray(m, jnp.float32) for m in maps)
