@@ -249,17 +249,53 @@ def _pix_kernel(
         B = jnp.where((k_lane & shift) != 0, shifted, B)
         shift *= 2
     # Per-column s-select: {Em, M, Ep}[x, k] = St[x + x0 + D - s(x) + {-1,0,1}]
-    Em = M = Ep = None
-    for j in range(0, (D - K) // G + 1):
-        off = x0 + D - j * G - 1
-        sl = B[off : off + Wv + 2]
-        if Em is None:
-            Em, M, Ep = sl[0:Wv], sl[1 : Wv + 1], sl[2 : Wv + 2]
-        else:
-            hit = s_c == float(j * G)
-            Em = jnp.where(hit, sl[0:Wv], Em)
-            M = jnp.where(hit, sl[1 : Wv + 1], M)
-            Ep = jnp.where(hit, sl[2 : Wv + 2], Ep)
+    # Two forms. The direct loop runs (D-K)/G + 1 iterations of compare
+    # + 3 selects — PACK-constant cost that made G=1 lose its band-4
+    # quality win on the chip (docs/sgbm_roofline.md "Round 5a"). The
+    # two-stage form factors s = 4q + r (r in {0, G, .., 4-G}): the
+    # q-loop gathers 4 + 2 consecutive-offset maps in (D-K)/4 + 1
+    # iterations (ONE compare per iteration, the maps share one slice),
+    # then r resolves with (4/G - 1) selects per target — ~2.4x fewer
+    # vector ops at G=1, ~1.35x at G=2. Exact: s, q, r are small f32
+    # integers and every pick is a static slice + select.
+    two_stage = G < 4 and 4 % G == 0 and stride == 1 and (D - K) >= 8
+    if two_stage:
+        r_c = s_c - jnp.floor(s_c * 0.25) * 4.0
+        q_c = s_c - r_c
+        tlo = -4  # smallest needed offset: -1 - max_r = -1 - (4 - G) >= -4
+        nmaps = 2 - tlo  # t in [tlo, 1]
+        U = None
+        for jq in range(0, (D - K) // 4 + 1):
+            offq = x0 + D - 4 * jq + tlo
+            slq = B[offq : offq + Wv + nmaps - 1]
+            if U is None:
+                U = [slq[i : i + Wv] for i in range(nmaps)]
+            else:
+                hitq = q_c == float(4 * jq)
+                U = [
+                    jnp.where(hitq, slq[i : i + Wv], u)
+                    for i, u in enumerate(U)
+                ]
+
+        def pick(tbase):
+            out = U[tbase - tlo]  # r == 0
+            for r in range(G, 4, G):
+                out = jnp.where(r_c == float(r), U[tbase - r - tlo], out)
+            return out
+
+        Em, M, Ep = pick(-1), pick(0), pick(1)
+    else:
+        Em = M = Ep = None
+        for j in range(0, (D - K) // G + 1):
+            off = x0 + D - j * G - 1
+            sl = B[off : off + Wv + 2]
+            if Em is None:
+                Em, M, Ep = sl[0:Wv], sl[1 : Wv + 1], sl[2 : Wv + 2]
+            else:
+                hit = s_c == float(j * G)
+                Em = jnp.where(hit, sl[0:Wv], Em)
+                M = jnp.where(hit, sl[1 : Wv + 1], M)
+                Ep = jnp.where(hit, sl[2 : Wv + 2], Ep)
 
     def split(c):
         """combined value -> (sobel part, raw part); 2^-10 is a power of
