@@ -72,12 +72,26 @@ def _lr_kernel(
     # Lookup disp2[x - dd] for dd = floor/ceil(disp): shifted selects over
     # the oob-padded row (out-of-range columns read _OOB and fail the
     # v >= mindisp test, like the XLA path).
+    #
+    # TWO-STAGE select (round 5, the pix-kernel trick): factor
+    # d_f = 4q + r. The q-loop gathers FIVE consecutive-offset maps
+    # U[t](x) = d2p[x + minX1 - 4q + t], t in [-4, 0], in ~D/4
+    # iterations (one compare, the maps share one slice); both lookups
+    # then resolve per pixel with static selects: v_f = U[-r] and
+    # v_c = U[-(r + d_c - d_f)] (d_c - d_f in {0, 1}, and
+    # r + 1 <= 4 so t = -4 covers the carry into the next q group).
+    # ~36 iterations x 7 ops vs 130 x 5 of the direct loop; bit-exact
+    # (mask-equality tests). q covers [-4, maxD&~3]: invalid pixels
+    # carry d_f = -1 (r = 3, q = -4, int32 & is two's-complement).
     padl = maxD + 1
     d2p = jnp.concatenate(
         [
             jnp.full((padl, 128), _OOB, jnp.int32),
             disp2,
-            jnp.full((8, 128), _OOB, jnp.int32),
+            # 16 tail pad rows: the two-stage base slice reaches up to
+            # minX1 + 4 + Wv - 1 (q = -4 group), 3 rows past the direct
+            # loop's worst case; Wv's 8-alignment can add 7 more.
+            jnp.full((16, 128), _OOB, jnp.int32),
         ],
         axis=0,
     )
@@ -88,12 +102,28 @@ def _lr_kernel(
     else:
         d_f = df_ref[...]
         d_c = dc_ref[...]
-    v_f = jnp.full((Wv, 128), _OOB, jnp.int32)
-    v_c = jnp.full((Wv, 128), _OOB, jnp.int32)
-    for dd in range(mindisp - 1, maxD + 1):
-        sh = d2p[padl + minX1 - dd : padl + minX1 - dd + Wv]
-        v_f = jnp.where(d_f == dd, sh, v_f)
-        v_c = jnp.where(d_c == dd, sh, v_c)
+    r_f = jnp.bitwise_and(d_f, 3)
+    q_f = d_f - r_f
+    rc5 = r_f + (d_c - d_f)  # in [0, 4]: lane of v_c within the U maps
+    U = [jnp.full((Wv, 128), _OOB, jnp.int32) for _ in range(5)]
+    for jq in range(-1, maxD // 4 + 1):
+        base = padl + minX1 - 4 * jq - 4  # offset of t = -4
+        slq = d2p[base : base + Wv + 4]
+        hit = q_f == 4 * jq
+        U = [jnp.where(hit, slq[4 - i : 4 - i + Wv], u) for i, u in enumerate(U)]
+    # U[i] holds d2p[x + minX1 - (4q + i)]; v_f = U[r_f], v_c = U[rc5].
+    v_f = U[0]
+    v_c = U[0]
+    for i in range(1, 5):
+        if i < 4:
+            v_f = jnp.where(r_f == i, U[i], v_f)
+        v_c = jnp.where(rc5 == i, U[i], v_c)
+    # The direct loop only matched dd >= mindisp - 1; lookups below that
+    # (invalid pixels' d_f = -1 when mindisp > 0) must keep the _OOB
+    # default so the fail mask stays bit-identical.
+    if mindisp > 0:
+        v_f = jnp.where(d_f >= mindisp - 1, v_f, jnp.int32(_OOB))
+        v_c = jnp.where(d_c >= mindisp - 1, v_c, jnp.int32(_OOB))
 
     fail_f = (v_f >= mindisp) & (jnp.abs(v_f - d_f) > max_diff)
     fail_c = (v_c >= mindisp) & (jnp.abs(v_c - d_c) > max_diff)
