@@ -279,21 +279,28 @@ def _downsample_box(img: jnp.ndarray, f: int, fx: int | None = None) -> jnp.ndar
     return jnp.round(u / (fy * fx)).astype(jnp.int32)
 
 
-def _upsample_repeat(s: jnp.ndarray, f: int, fx: int | None = None) -> jnp.ndarray:
+def _upsample_repeat(
+    s: jnp.ndarray, f: int, fx: int | None = None, exact_float: bool = False
+) -> jnp.ndarray:
     """jnp.repeat(jnp.repeat(s, f, -2), fx, -1) as two 0/1 expansion
     matmuls (repeat is a lane relayout; measured 0.26 -> 0.21 ms per
     720p map, benchmarks/resample_ab.py). Exact for int values <= 255
     (one exact bf16 product per output). Accepts leading batch axes and
-    an optional distinct x factor."""
+    an optional distinct x factor. ``exact_float``: run the dots at
+    HIGHEST precision so arbitrary f32 values replicate exactly (each
+    output is value * 1.0 in full f32 — used by the subpixel-float
+    splice, whose 1/16 fractions exceed bf16's mantissa)."""
     fy, fx = f, f if fx is None else fx
     Hc, Wc = s.shape[-2:]
     nd = s.ndim
+    prec = jax.lax.Precision.HIGHEST if exact_float else None
     t = jax.lax.dot_general(
         s.astype(jnp.float32), _pool_mat(Hc * fy, Hc, fy).T,
-        (((nd - 2,), (0,)), ((), ())),
+        (((nd - 2,), (0,)), ((), ())), precision=prec,
     )  # (..., Wc, H)
     u = jax.lax.dot_general(
         t, _pool_mat(Wc * fx, Wc, fx).T, (((nd - 2,), (0,)), ((), ())),
+        precision=prec,
     )  # (..., H, W)
     return u.astype(s.dtype)
 
@@ -756,7 +763,12 @@ def _splice_coarse(
     edge_full = jax.lax.dynamic_update_slice(
         jnp.zeros((Hm, Wm), bool), edge, (0, Dm)
     )
-    cu = jnp.repeat(jnp.repeat(disp_c, fc, 0), fc, 1)
+    # MXU expansion, not jnp.repeat (repeat on the lane dim is a Mosaic
+    # relayout — the r3b resampling lesson); exact_float because the
+    # coarse disparity carries 1/16 subpixel fractions past bf16.
+    # Chip A/B 2026-08-21: a WASH at mid-map sizes (384.0 both ways) —
+    # kept for the rule's sake (bit-exact either way).
+    cu = _upsample_repeat(disp_c, fc, exact_float=True)
     cu = jnp.pad(
         cu, ((0, Hm - cu.shape[0]), (0, Wm - cu.shape[1])), mode="edge"
     )[:Hm, :Wm]
