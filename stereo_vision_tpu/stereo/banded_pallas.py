@@ -262,8 +262,8 @@ def _pix_kernel(
     if two_stage:
         r_c = s_c - jnp.floor(s_c * 0.25) * 4.0
         q_c = s_c - r_c
-        tlo = -4  # smallest needed offset: -1 - max_r = -1 - (4 - G) >= -4
-        nmaps = 2 - tlo  # t in [tlo, 1]
+        tlo = -1 - (4 - G)  # smallest needed offset: -1 - max residual
+        nmaps = 2 - tlo  # t in [tlo, 1]: 5 maps at G=2, 6 at G=1
         U = None
         for jq in range(0, (D - K) // 4 + 1):
             offq = x0 + D - 4 * jq + tlo
